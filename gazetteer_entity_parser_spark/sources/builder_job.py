@@ -1,0 +1,206 @@
+"""Distributed parser build: gazetteer DataFrame -> Registry -> broadcast.
+
+Re-expresses the reference's offline build (reference:
+src/parser_builder.rs:82-101 + src/parser_registry.rs:38-65, 118-167) as
+DataFrame jobs, per SURVEY.md §2.1:
+
+- rank assignment: explicit ``rank`` column (DataFrames have no row order);
+- tokenization: Arrow-batched pandas UDF around the kernel tokenizer (exact
+  parity incl. unicode-whitespace semantics — cheaper and more faithful than
+  approximating with ``F.split``);
+- token interning: first-appearance order over (rank, position) — matches
+  the reference's BTreeMap+counter interning scan order
+  (reference: src/symbol_table.rs:17-27);
+- inverted index: ``groupBy(token).agg(sort_array(collect_set(entity)))``;
+- stop words: top-n by distinct-entity count, ties to the earlier-interned
+  token (Rust stable sort, reference: src/parser_registry.rs:141-157);
+- edge cases: entities whose token set ⊆ stop words
+  (reference: src/parser_registry.rs:159-166).
+
+The assembled ``Registry`` is verified equal to the kernel's driver-side
+build in tests, then shipped to executors with ``SparkContext.broadcast``.
+
+Scale note: the gazetteer is dimension-scale (≤ tens of millions of rows ≪
+the 10^12-doc corpus). The two groupBys shuffle only gazetteer tokens; id
+assignment uses a single-partition window over *distinct tokens / entities*
+only, which is the standard dimension-build trade-off. The corpus-side scan
+never shuffles on gazetteer keys — the index travels as a broadcast.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernel.registry import Registry
+from ..kernel.parser import Parser
+from ..kernel.tokenizer import tokens_only
+
+GAZETTEER_SCHEMA = "raw_value string, resolved_value string, rank bigint"
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(raw: pd.Series) -> pd.Series:
+    """Kernel-exact tokenization, Arrow-batched (no per-row Python UDF)."""
+    return raw.map(lambda s: tokens_only(s) if s is not None else [])
+
+
+def with_rank_from_order(df: DataFrame, order_col: str = "popularity") -> DataFrame:
+    """Materialize the reference's implicit list-position rank
+    (reference: src/parser_builder.rs:90-92) from an explicit ordering
+    column. Single-partition window — dimension-scale only."""
+    w = Window.orderBy(F.col(order_col).asc())
+    return df.withColumn("rank", F.row_number().over(w) - F.lit(1))
+
+
+def build_index_frames(gazetteer_df: DataFrame) -> dict[str, DataFrame]:
+    """The build expressed as reusable DataFrames (each also exposed as a
+    driver-contract query with a DuckDB oracle — see __spark_entry__).
+
+    Returns dict with:
+      entities:  entity_id, resolved_value, rank, tokens array<string>
+      tokens:    token, token_id (first-appearance interning order)
+      postings:  token_id, entity_ids array<bigint> (sorted)
+      token_df:  token, n_entities (distinct-entity frequency)
+    """
+    # entity id = position in rank order (reference interning order,
+    # src/parser_registry.rs:43-45: one fresh id per row)
+    w_rank = Window.orderBy(F.col("rank").asc())
+    entities = (
+        gazetteer_df.withColumn("tokens", tokenize_udf(F.col("raw_value")))
+        .where(F.size("tokens") > 0)  # empty-value filter (src/parser_registry.rs:39-41)
+        .withColumn("entity_id", F.row_number().over(w_rank) - F.lit(1))
+        .select("entity_id", "resolved_value", "rank", "tokens")
+    )
+
+    exploded = entities.select(
+        "entity_id", F.posexplode("tokens").alias("pos", "token")
+    )
+
+    # interning order: first appearance scanning entities by rank, tokens by
+    # position (reference: src/symbol_table.rs:17-27)
+    first_seen = exploded.groupBy("token").agg(
+        F.min(F.struct("entity_id", "pos")).alias("first_seen")
+    )
+    w_intern = Window.orderBy(F.col("first_seen").asc())
+    tokens = first_seen.withColumn(
+        "token_id", F.row_number().over(w_intern) - F.lit(1)
+    ).select("token", "token_id")
+
+    with_ids = exploded.join(tokens, "token")
+
+    postings = with_ids.groupBy("token_id").agg(
+        F.sort_array(F.collect_set("entity_id")).alias("entity_ids")
+    )
+
+    token_df = with_ids.groupBy("token", "token_id").agg(
+        F.countDistinct("entity_id").alias("n_entities")
+    )
+
+    return {
+        "entities": entities,
+        "tokens": tokens,
+        "postings": postings,
+        "token_df": token_df,
+    }
+
+
+def stop_words_df(frames: dict[str, DataFrame], n_stop_words: int) -> DataFrame:
+    """Top-n tokens by distinct-entity count; ties go to the earlier-interned
+    token id (reference: src/parser_registry.rs:141-157)."""
+    return (
+        frames["token_df"]
+        .orderBy(F.col("n_entities").desc(), F.col("token_id").asc())
+        .limit(n_stop_words)
+        .select("token", "token_id", "n_entities")
+    )
+
+
+def edge_cases_df(frames: dict[str, DataFrame], stop_words: DataFrame) -> DataFrame:
+    """Entities all of whose tokens are stop words
+    (reference: src/parser_registry.rs:159-166), via array_except == empty."""
+    sw = stop_words.select(F.collect_list("token").alias("sw"))
+    return (
+        frames["entities"]
+        .crossJoin(F.broadcast(sw))
+        .where(F.size(F.array_except(F.array_distinct("tokens"), F.col("sw"))) == 0)
+        .select("entity_id", "resolved_value", "rank")
+    )
+
+
+def build_registry_distributed(
+    gazetteer_df: DataFrame,
+    n_stop_words: int = 0,
+    additional_stop_words: list[str] | None = None,
+) -> Registry:
+    """Run the DataFrame build and assemble the (small) Registry on the
+    driver. Must be bit-identical to the kernel's sequential build — pinned
+    by tests/test_builder_job.py."""
+    frames = build_index_frames(gazetteer_df)
+
+    entity_rows = (
+        frames["entities"]
+        .orderBy("entity_id")
+        .select("resolved_value", "rank", "tokens")
+        .collect()
+    )
+    token_rows = frames["tokens"].orderBy("token_id").collect()
+
+    reg = Registry()
+    # token ids first-appearance order == kernel interning order; rebuild the
+    # exact same structures without re-scanning strings
+    reg.token_ids = {row["token"]: row["token_id"] for row in token_rows}
+    reg.postings = [[] for _ in token_rows]
+    for row in entity_rows:
+        ev = len(reg.resolved)
+        reg.resolved.append(row["resolved_value"])
+        reg.entity_rank.append(row["rank"])
+        tok_ids = tuple(reg.token_ids[t] for t in row["tokens"])
+        reg.entity_tokens.append(tok_ids)
+        for tid in tok_ids:
+            plist = reg.postings[tid]
+            if not plist or plist[-1] != ev:
+                plist.append(ev)
+    reg.set_stop_words(n_stop_words, additional_stop_words)
+    return reg
+
+
+def build_parser_distributed(
+    gazetteer_df: DataFrame,
+    threshold: float = 1.0,
+    n_stop_words: int = 0,
+    additional_stop_words: list[str] | None = None,
+) -> Parser:
+    """Threshold validation mirrors the reference builder
+    (reference: src/parser_builder.rs:83-88)."""
+    if threshold < 0.0 or threshold > 1.0:
+        raise ValueError(
+            f"Invalid value for threshold ({threshold}), it must be between 0.0 and 1.0"
+        )
+    registry = build_registry_distributed(
+        gazetteer_df, n_stop_words, additional_stop_words
+    )
+    return Parser(registry, threshold)
+
+
+def broadcast_parser(spark: SparkSession, parser: Parser):
+    """Ship the built parser to every executor. Broadcasts are immutable:
+    injection/prepend publish a NEW broadcast and unpersist the old one
+    (reference's full-rebuild injection, src/parser_registry.rs:199-254,
+    maps exactly onto this)."""
+    return spark.sparkContext.broadcast(parser)
+
+
+def inject_and_rebroadcast(
+    spark: SparkSession,
+    old_broadcast,
+    new_values: list[tuple[str, str]],
+    prepend: bool,
+    from_vanilla: bool,
+):
+    """Injection as broadcast-rebuild (reference: src/parser.rs:156-168)."""
+    new_parser = old_broadcast.value.inject_new_values(new_values, prepend, from_vanilla)
+    old_broadcast.unpersist()
+    return spark.sparkContext.broadcast(new_parser)

@@ -1,0 +1,57 @@
+"""Web-page table sources.
+
+``BASELINE.json.input_hint`` fixes the corpus shape:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+At production scale this is an Iceberg table of Common-Crawl pages; in this
+sandbox we synthesize it *deterministically* from the driver-generated
+``documents`` parquet (TESTDATA.md) — same derivation is expressible in
+DuckDB so driver correctness checks can cross-validate.
+
+Invariant carried through the whole pipeline: ``text`` stays byte-identical
+per ``url`` (input_hint), pinned by tests/test_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WEBPAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+# fixed epoch so the synthesis is bit-deterministic (no wall clock)
+_WARC_EPOCH = "2020-01-01 00:00:00"
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def webpages_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic documents -> web-pages derivation (also expressible as
+    ANSI SQL for the DuckDB oracle — see __spark_entry__.oracle_sql)."""
+    return docs.select(
+        F.concat(F.lit("https://example.org/"), F.col("source"), F.lit("/"), F.col("doc_id"))
+        .alias("url"),
+        (F.to_timestamp(F.lit(_WARC_EPOCH)) + F.make_interval(secs=F.col("doc_id")))
+        .alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def load_webpages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return webpages_from_documents(read_documents(spark, sf_dir))
+
+
+def read_table_or_parquet(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Production entry: an Iceberg (or any catalog) table name, falling back
+    to a parquet path. The Iceberg runtime jar is absent in this sandbox, so
+    catalog reads are attempted and parquet is the graceful fallback."""
+    try:
+        return spark.read.table(name_or_path)
+    except Exception:
+        return spark.read.parquet(name_or_path)
