@@ -141,6 +141,8 @@ class Parser:
         self.registry = registry
         self.threshold = f32(threshold)
         self.license_info = None
+        self._single_token_table = None
+        self._single_token_checked = False
 
     def set_threshold(self, threshold: float) -> None:
         """reference: src/parser.rs:119-121 (stored as f32)."""
@@ -177,8 +179,70 @@ class Parser:
 
     def run(self, input_text: str, max_alternatives: int = 0) -> list[ParsedValue]:
         """reference: src/parser.rs:146-149."""
+        table = self._single_token_lookup()
+        if table is not None:
+            return self._run_single_token(input_text, max_alternatives, table)
         heap = self._find_possible_matches(input_text, self.threshold, max_alternatives)
         return self._parse_input(input_text, heap)
+
+    # -------------------------------------------- pure-dictionary fast path
+
+    def _single_token_lookup(self):
+        """Specialized physical plan: when every gazetteer entry is a single
+        token and there are no stop words, the general machinery provably
+        reduces to a dictionary probe — every match has n_consumed=1,
+        raw_value_length=1 (ratio 1.0 passes any θ≤1), spans never overlap,
+        groups are per-token-occurrence, best match = min rank, and
+        alternatives are the remaining postings in rank order with no
+        raw_value_length cutoff. Equivalence is pinned against the general
+        path in tests/test_fast_path.py."""
+        if not self._single_token_checked:
+            self._single_token_checked = True
+            reg = self.registry
+            if (
+                not reg.stop_words
+                and self.threshold <= 1.0
+                and all(len(t) == 1 for t in reg.entity_tokens)
+            ):
+                # per token: postings fully materialized in rank order; a
+                # single-token entity's raw_value IS its token string
+                table: dict[str, list] = {}
+                for token, tid in reg.token_ids.items():
+                    postings = sorted(reg.postings[tid], key=lambda ev: reg.entity_rank[ev])
+                    if postings:
+                        table[token] = [
+                            (ev, reg.entity_rank[ev], ResolvedValue(reg.resolved[ev], token))
+                            for ev in postings
+                        ]
+                self._single_token_table = table
+        return self._single_token_table
+
+    def _run_single_token(
+        self, input_text: str, max_alternatives: int, table
+    ) -> list[ParsedValue]:
+        out = []
+        get = table.get
+        for start, end, token in tokenize(input_text):
+            postings = get(token)
+            if postings is None:
+                continue
+            ev, rank, rv = postings[0]
+            alts = (
+                tuple(p[2] for p in postings[1 : max_alternatives + 1])
+                if max_alternatives and len(postings) > 1
+                else ()
+            )
+            out.append(
+                ParsedValue(
+                    resolved_value=rv,
+                    range=(start, end),
+                    matched_value=token,
+                    alternatives=alts,
+                    entity=ev,
+                    rank=rank,
+                )
+            )
+        return out
 
     # ---------------------------------------------------------- candidate scan
 

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation stays JVM-side (built-in array/hash functions inside
+whole-stage codegen); Python appears only in the SimHash bit-vector fold
+(vectorized numpy pandas UDF). Scale notes per operator:
+
+- exact: hash-groupBy on the full text — one shuffle, map-side combine.
+- minhash LSH: shingle -> k-permutation minhash -> b bands -> bucket
+  self-join. At 10^12 docs the bucket join replaces the O(n^2) cross join;
+  banded buckets are the shuffle key, giant buckets (boilerplate pages) are
+  AQE-skew-split; candidates verified with exact shingle Jaccard.
+- ngram jaccard: inverted-index pair generation (token -> doc postings ->
+  doc-pair counts) — the relational formulation that also serves as the
+  DuckDB oracle.
+- simhash: 64-bit fingerprints, hamming<=3 via 4x16-bit chunk pigeonhole
+  bucket join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-level: pandas UDF type hints resolve against globals
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (keeper_id, n_copies) per duplicated
+    text; keeper = min id (deterministic)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keeper_id", "n_copies")
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (the min-id row)."""
+    w_min = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(w_min, [text_col, id_col])
+
+
+# ------------------------------------------------------------------- shingles
+
+
+def token_shingles(text_col, n: int = 3):
+    """Distinct n-token shingles as strings (JVM-side; US-separator joined)."""
+    toks = F.split(text_col, r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws("\x1f", toks))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)))
+        )
+    )
+
+
+# ------------------------------------------------------------- minhash + LSH
+
+
+def _seeded_hash(seed: int):
+    # single-parameter lambda: a two-parameter lambda would be treated by
+    # F.transform as (element, index) and the index would clobber the seed
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(shingles_col, k: int = 64):
+    """k minhashes: min over shingles of xxhash64(shingle, seed_i). The seeded
+    xxhash64 family stands in for k independent permutations."""
+    return F.array(
+        *[F.array_min(F.transform(shingles_col, _seeded_hash(i))) for i in range(k)]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded minhash buckets.
+    rows = bands * n_docs exploded; the self-join shuffles on (band, hash)."""
+    rows_per_band = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(token_shingles(F.col(text_col), n_shingle), k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.bucket")
+    left = banded.withColumnRenamed("id", "id_a")
+    right = banded.withColumnRenamed("id", "id_b")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold."""
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), n_shingle).alias("sh"),
+    )
+    cands = minhash_lsh_candidates(docs, id_col, text_col, n_shingle, k, bands)
+    a = shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    b = shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------- relational n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over token n-gram sets via inverted-index pair counts —
+    no cross join: explode shingles, self-join postings on shingle, count
+    shared per pair (map-side combinable), divide by union size. This is
+    the fully-relational formulation (and the DuckDB oracle shape)."""
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_shingles(F.col(text_col), n_shingle)).alias("sh"),
+    ).distinct()
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
+    a = shingled.withColumnRenamed("id", "id_a")
+    b = shingled.withColumnRenamed("id", "id_b")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------- simhash
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of token hashes.
+    Vectorized numpy inside a pandas UDF (Arrow batches) — the bit-matrix
+    fold has no efficient built-in expression."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            if not text:
+                continue
+            toks = text.split()
+            if not toks:
+                continue
+            # deterministic 64-bit token hashes (FNV-1a, numpy-vectorizable)
+            hs = np.zeros(len(toks), dtype=np.uint64)
+            for t_i, tok in enumerate(toks):
+                h = np.uint64(0xCBF29CE484222325)
+                for byte in tok.encode("utf-8"):
+                    h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                hs[t_i] = h
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    fp |= np.uint64(1) << np.uint64(j)
+            out[row] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via the 4x16-bit pigeonhole:
+    any pair differing in <=3 bits agrees on at least one 16-bit chunk, so the
+    chunk-equality join generates all true pairs (then exact popcount filters)."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunks = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "chunk", "val"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "chunk", "val"
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode libraries (PIL/ffmpeg/etc.) are not in this container, so the
+decode step is STUBBED: :func:`register_decoder` accepts a real decoder when
+available; the default is a clearly-marked deterministic fake
+(:func:`fake_decode`) so the Spark-side plumbing — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested. Swapping in a real decoder
+changes one function, not the plan.
+
+Scale notes: payloads ride as Arrow binary buffers through mapInPandas;
+feature extraction is per-batch numpy; size-skewed payloads (videos) get the
+same salted-repartition treatment as giant web pages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),  # 16-dim
+    ]
+)
+
+
+def real_decode(payload: bytes, modality: str) -> np.ndarray:
+    """Placeholder for the real decoder (PIL.Image.open / soundfile / ffmpeg
+    frame sampling). Not available in this container."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not present in this environment; "
+        "register a decoder with register_decoder()"
+    )
+
+
+def fake_decode(payload: bytes, modality: str) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: byte histogram over 16 buckets, L1-normed.
+    Stands in for decoded-pixel/sample features so the pipeline shape is
+    fully exercised."""
+    if not payload:
+        return np.zeros(16, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+    return hist / max(hist.sum(), 1.0)
+
+
+_DECODER: Callable[[bytes, str], np.ndarray] = fake_decode
+
+
+def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
+    global _DECODER
+    _DECODER = fn
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table from the documents corpus: payload = UTF-8
+    bytes of the text (opaque binary as far as the pipeline is concerned),
+    modality round-robins, meta derived from sizes."""
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        modality.alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            (F.pmod(F.col(id_col), F.lit(640)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(480)) + 32).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.col(id_col), F.lit(300)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Decode (stub) + featurize each payload; one numpy pass per Arrow batch."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _DECODER
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                decoder(payload, modality).astype(np.float32).tolist()
+                for payload, modality in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        featurize, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, frame_idx) rows for
+    every_n-th frame from metadata only — the decode of each sampled frame is
+    the stubbed step. Shows the explode-then-process partitioning shape."""
+    return (
+        media.where(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Quality/token/fingerprint are pure built-in expressions (whole-stage
+codegen, SQL-oracle-able). Language ID is an n-gram/stop-word heuristic as a
+vectorized pandas UDF (rows-only check + pytest)."""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas UDF type hints resolve against globals
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- token stats
+
+_WORD_RE = r"[a-zA-Z0-9]+"  # BPE-ish word pieces: alnum runs
+_PUNCT_RE = r"[^a-zA-Z0-9\s]"
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex word-piece count + char count."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_WORD_RE), F.lit(0))).alias(
+            "n_word_pieces"
+        ),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is"),
+) -> DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stop-word
+    ratio, mean token length, and a blended 0..1 score. All JVM-side."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(_PUNCT_RE), F.lit(0)))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    mean_tok_len = F.when(n_toks > 0, (n_chars - (n_toks - 1)) / n_toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop / n_toks).otherwise(F.lit(0.0))
+    # blended score: long-enough docs with low punctuation and a natural
+    # stop-word rate score high (weights are heuristic, deterministic)
+    score = (
+        F.least(n_toks / 100.0, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# -------------------------------------------------------------- fingerprints
+
+_FP_MOD = 2147483647  # 2^31 - 1: keeps every intermediate < 2^62 (ANSI-safe)
+_FP_MULT = 1000003
+
+
+def rolling_fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over tokens:
+    acc = (acc * 1000003 + len(tok) * 31 + ascii(first char)) mod (2^31-1).
+    Pure fold over the token array (expressible in both Spark and DuckDB)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(_FP_MULT) + F.length(t) * 31 + F.ascii(F.substring(t, 1, 1)),
+            F.lit(_FP_MOD),
+        ),
+    )
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ------------------------------------------------------------------- lang id
+
+# tiny deterministic stop-word profiles (public common-word lists)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "para", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "zh": set(),  # handled by the CJK codepoint ratio below
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK codepoint ratio dominates, else the
+    stop-word profile with the most hits (ties -> 'und'). Vectorized pandas
+    UDF — Arrow-batched, no per-row Python."""
+    from pyspark.sql.types import StringType
+
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
+
+    @F.pandas_udf(StringType())
+    def lang_udf(texts: pd.Series) -> pd.Series:
+        def detect(text: str) -> str:
+            if not text:
+                return "und"
+            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+            if cjk > len(text[:400]) * 0.2:
+                return "zh"
+            toks = text.lower().split()
+            if not toks:
+                return "und"
+            best_lang, best_hits = "und", 0
+            for lang in sorted(profiles):
+                hits = sum(1 for t in toks if t in profiles[lang])
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            return best_lang if best_hits > 0 else "und"
+
+        return texts.map(detect)
+
+    return docs.select(F.col(id_col), lang_udf(F.col(text_col)).alias("predicted_lang"))

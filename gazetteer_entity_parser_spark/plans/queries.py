@@ -396,7 +396,250 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "dedup_exact_groups": """
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM all_docs GROUP BY text HAVING count(*) > 1
+    """,
+    "dedup_ngram_jaccard": """
+        WITH near AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1' AS text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM near)
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       tok || chr(31) || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS s
+                FROM toks
+            ) WHERE s IS NOT NULL
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared, na.n AS n_a, nb.n AS n_b,
+               round(shared / (na.n + nb.n - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE shared / (na.n + nb.n - shared) >= 0.5
+    """,
+    "sim_cosine_pairs": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    """,
+    "sim_cosine_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(a.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= 3
+    """,
+    "text_token_stats": """
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                    AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS INT) AS n_word_pieces,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    """,
+    "text_quality_scores": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   n_chars,
+                   CASE WHEN len(toks) > 0
+                        THEN (n_chars - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS mean_token_len,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN len(list_filter(toks, t -> list_contains(
+                             ['the','a','of','and','to','in','is'], lower(t)))) / len(toks)
+                        ELSE 0.0 END AS stop_ratio
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               round(mean_token_len, 6) AS mean_token_len,
+               round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stopword_ratio,
+               round(least(n_tokens / 100.0, 1.0) * 0.4
+                     + (1 - least(punct_ratio * 5, 1.0)) * 0.3
+                     + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality_score
+        FROM m
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+                           t -> CAST(length(t) * 31 + ascii(t) AS BIGINT))),
+                   (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    "media_feature_summary": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes
+        FROM documents
+    """,
+    "media_frame_plan": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(unnest(range(0, CAST(doc_id % 300 + 1 AS BIGINT), 10)) AS INT) AS frame_idx
+        FROM documents WHERE doc_id % 3 = 2
+    """,
 }
+
+
+# ---- training-data operators: dedup / similarity / text analysis / media
+
+
+def _docs_with_exact_dups(spark, sf_dir):
+    """Deterministic dup-injected corpus: every 10th doc duplicated verbatim
+    with id+1_000_000 (the synthetic texts are all distinct otherwise)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    """Near-dup-injected corpus: every 10th doc copied with two extra tokens."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1")).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    from ..operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_with_exact_dups(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir), n_shingle=2, threshold=0.5
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(
+        _docs_with_near_dups(spark, sf_dir), n_shingle=2, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from ..operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_docs_with_near_dups(spark, sf_dir), max_hamming=3)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_sim_cosine_pairs(spark, sf_dir):
+    from ..operators.similarity import cosine_similar_pairs
+
+    return cosine_similar_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from ..operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb, k=3)
+
+
+def q_sim_ann_lsh_topk(spark, sf_dir):
+    from ..operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(_emb(spark, sf_dir), k=3, n_planes=4)
+
+
+def q_sim_ann_matmul_topk(spark, sf_dir):
+    from ..operators.similarity import ann_topk_matmul
+
+    return ann_topk_matmul(spark, _emb(spark, sf_dir), k=3)
+
+
+def q_text_token_stats(spark, sf_dir):
+    from ..operators.text_analysis import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality_scores(spark, sf_dir):
+    from ..operators.text_analysis import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from ..operators.text_analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark, sf_dir):
+    from ..operators.text_analysis import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_media_feature_summary(spark, sf_dir):
+    from ..operators.multimodal import extract_media_features, synthesize_media
+
+    media = synthesize_media(_docs(spark, sf_dir))
+    return extract_media_features(media).select("media_id", "modality", "n_bytes")
+
+
+def q_media_features_full(spark, sf_dir):
+    from ..operators.multimodal import extract_media_features, synthesize_media
+
+    return extract_media_features(synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_media_frame_plan(spark, sf_dir):
+    from ..operators.multimodal import frame_sample_plan, synthesize_media
+
+    return frame_sample_plan(synthesize_media(_docs(spark, sf_dir)), every_n=10)
 
 
 QUERIES = {
@@ -415,4 +658,19 @@ QUERIES = {
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,
     "agg_events_by_type": q_agg_events_by_type,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_cosine_pairs": q_sim_cosine_pairs,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+    "sim_ann_matmul_topk": q_sim_ann_matmul_topk,
+    "text_token_stats": q_text_token_stats,
+    "text_quality_scores": q_text_quality_scores,
+    "text_fingerprint": q_text_fingerprint,
+    "text_language_id": q_text_language_id,
+    "media_feature_summary": q_media_feature_summary,
+    "media_features_full": q_media_features_full,
+    "media_frame_plan": q_media_frame_plan,
 }

@@ -1,0 +1,87 @@
+"""Structured Streaming variant of the KG pipeline.
+
+The matching stage is stateless per document (the reference parses one
+string at a time — src/parser.rs:146-149), so the exact same broadcast
+parser + ``mapInPandas`` stage runs unchanged under ``readStream``; late
+data needs no special handling for extraction itself. Aggregated triples use
+``foreachBatch`` + MERGE so each micro-batch upserts idempotently — the
+streaming twin of the batch Stage D.
+
+For event-time windowed rollups (mentions/minute with late data), see
+:func:`mention_rate_per_window` — watermarked sliding windows over the
+mention stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_mentions
+from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..sources.sinks import merge_into_parquet
+from ..sources.webpages import WEBPAGE_SCHEMA
+
+
+def read_webpage_stream(spark: SparkSession, input_dir: str, max_files: int = 4) -> DataFrame:
+    """File-source stream of web pages (Iceberg streaming reads swap in on a
+    real cluster; the file source has the same semantics for our purposes)."""
+    return (
+        spark.readStream.schema(WEBPAGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def streaming_mentions(pages: DataFrame, parser_broadcast, **extract_kwargs) -> DataFrame:
+    """The batch extraction operator applied to a streaming DataFrame —
+    mapInPandas is fully streaming-compatible for stateless stages."""
+    return extract_mentions(pages, parser_broadcast, **extract_kwargs)
+
+
+def start_triples_stream(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    parser_broadcast,
+    triples_path: str,
+    checkpoint_dir: str,
+    window_tokens: int | None = 10,
+):
+    """mentions -> triples per micro-batch, MERGE-upserted into the triples
+    store. foreachBatch + deterministic kernel + checkpointed source offsets
+    = exactly-once-per-batch upserts."""
+    mentions = streaming_mentions(
+        pages_stream, parser_broadcast, window_tokens=window_tokens
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        canonical = canonicalize_triples(cooccurrence_triples(batch_df))
+        merge_into_parquet(spark, triples_path, canonical)
+
+    return (
+        mentions.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mention_rate_per_window(
+    mentions_with_ts: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Event-time windowed mention counts with a watermark for late data —
+    the standard streaming-agg shape (stateful, state bounded by watermark)."""
+    return (
+        mentions_with_ts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide), F.col("resolved"))
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "resolved",
+            "n_mentions",
+        )
+    )

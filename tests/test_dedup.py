@@ -1,0 +1,97 @@
+"""Dedup operator tests: exact, minhash-LSH (recall vs exact jaccard),
+relational n-gram jaccard, simhash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+        (4, "completely different content about spark dataframes and shuffle exchange plans"),
+        (5, "another unrelated text mentioning catalyst optimizer and broadcast join"),
+        (6, "the quick brown fox jumps over the lazy dog near the river bank today extra"),  # near dup
+    ]
+    return spark.createDataFrame(base, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(spark, corpus):
+    groups = exact_duplicates(corpus).collect()
+    assert [(r["keeper_id"], r["n_copies"]) for r in groups] == [(1, 2)]
+    kept = dedup_exact(corpus)
+    assert kept.count() == 5
+    assert kept.where(F.col("doc_id") == 2).count() == 0
+
+
+def test_ngram_jaccard_finds_near_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, n_shingle=2, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 6) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_candidates_and_verify(spark, corpus):
+    cands = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(corpus, n_shingle=2).collect()}
+    # exact dup must always share every band
+    assert (1, 2) in cands
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup_pairs(corpus, n_shingle=2, threshold=0.5).collect()
+    }
+    assert verified[(1, 2)] == 1.0
+    assert (1, 3) in verified  # 16 bands of 4 rows catch jaccard ~0.8 w.h.p.
+    assert not any(4 in p or 5 in p for p in verified)
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH verified pairs == exact-jaccard pairs on a dup-heavy corpus
+    (b=16, r=4 -> catch probability at j=0.8 is ~1-4e-7 per pair)."""
+    rows = []
+    for i in range(40):
+        text = " ".join(f"tok{i}_{j}" for j in range(30))
+        rows.append((i, text))
+        if i % 4 == 0:  # near dup: change one token
+            rows.append((i + 1000, text.replace(f"tok{i}_7", "CHANGED")))
+    spark_df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(spark_df, n_shingle=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_pairs(spark_df, n_shingle=2, threshold=0.5).collect()
+    }
+    assert exact == lsh
+    assert len(exact) == 10
+
+
+def test_simhash_fingerprints_deterministic(spark, corpus):
+    fp1 = {r["id"]: r["simhash"] for r in simhash_fingerprints(corpus).collect()}
+    fp2 = {r["id"]: r["simhash"] for r in simhash_fingerprints(corpus).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[2]  # identical text -> identical fingerprint
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_duplicates(corpus, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0
+    # near dups differ in few tokens -> small hamming; unrelated docs absent
+    assert not any((4 in p or 5 in p) for p in pairs)

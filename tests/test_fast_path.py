@@ -1,0 +1,62 @@
+"""The single-token dictionary fast path must be output-identical to the
+general matching path, and must correctly refuse to engage when any
+precondition fails (multi-token entries, stop words)."""
+
+import random
+
+from gazetteer_entity_parser_spark.kernel import Parser, ParserBuilder
+
+
+def general_path(parser: Parser, text: str, max_alternatives: int):
+    heap = parser._find_possible_matches(text, parser.threshold, max_alternatives)
+    return parser._parse_input(text, heap)
+
+
+def test_fast_path_engages_and_matches_general():
+    gaz = [(w, w.upper()) for w in ["alpha", "beta", "gamma", "delta"]]
+    gaz.append(("alpha", "ALPHA_ALIAS"))  # multi-posting token
+    parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.7).build()
+    assert parser._single_token_lookup() is not None
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "unknown", "zz", "éléphant"]
+    for _ in range(50):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for max_alt in (0, 1, 5):
+            assert parser.run(text, max_alt) == general_path(parser, text, max_alt), text
+
+
+def test_fast_path_alternatives_rank_order():
+    gaz = [("x", "First"), ("x", "Second"), ("x", "Third")]
+    parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(1.0).build()
+    out = parser.run("x", 2)
+    assert out[0].resolved_value.resolved == "First"
+    assert [a.resolved for a in out[0].alternatives] == ["Second", "Third"]
+    assert parser.run("x", 2) == general_path(parser, "x", 2)
+
+
+def test_fast_path_disabled_for_multi_token():
+    parser = (
+        ParserBuilder()
+        .set_gazetteer([("a b", "AB"), ("c", "C")])
+        .minimum_tokens_ratio(0.5)
+        .build()
+    )
+    assert parser._single_token_lookup() is None
+
+
+def test_fast_path_disabled_with_stop_words():
+    parser = (
+        ParserBuilder()
+        .set_gazetteer([("a", "A"), ("b", "B")])
+        .minimum_tokens_ratio(0.5)
+        .n_stop_words(1)
+        .build()
+    )
+    assert parser._single_token_lookup() is None
+
+
+def test_fast_path_unicode_offsets():
+    parser = ParserBuilder().set_gazetteer([("дра", "DRA")]).minimum_tokens_ratio(1.0).build()
+    out = parser.run("нет дра здесь", 0)
+    assert [(p.range, p.matched_value) for p in out] == [((4, 7), "дра")]

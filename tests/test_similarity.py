@@ -1,0 +1,87 @@
+"""Similarity-search tests: brute-force correctness vs numpy, ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.similarity import (
+    ann_topk_matmul,
+    cosine_similar_pairs,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").limit(120).cache()
+
+
+@pytest.fixture(scope="module")
+def np_oracle(emb):
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    return ids, sims
+
+
+def test_cosine_pairs_match_numpy(spark, emb, np_oracle):
+    ids, sims = np_oracle
+    pos = {v: i for i, v in enumerate(ids)}
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           cosine_similar_pairs(emb, threshold=0.2).collect()}
+    expected = {
+        (int(ids[i]), int(ids[j])): round(float(sims[i, j]), 6)
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.2 - 1e-9
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-5
+
+
+def test_topk_matches_numpy(spark, emb, np_oracle):
+    ids, sims = np_oracle
+    got = {}
+    for r in cosine_topk(emb, emb, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rk"], r["nbr_id"]))
+    for qi, qid in enumerate(ids):
+        row = sims[qi].copy()
+        mask = ids != qid
+        order = sorted(
+            [(float(-row[j]), int(ids[j])) for j in range(len(ids)) if mask[j]]
+        )[:3]
+        expected = [(rk + 1, nbr) for rk, (_c, nbr) in enumerate(order)]
+        assert sorted(got[int(qid)]) == expected
+
+
+def test_ann_matmul_recall(spark, emb):
+    brute = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=3).collect()}
+    ann = {(r["query_id"], r["nbr_id"]) for r in ann_topk_matmul(spark, emb, k=3).collect()}
+    # same exact math modulo float summation order: allow tiny tie flips
+    recall = len(brute & ann) / len(brute)
+    assert recall > 0.99
+
+
+def test_lsh_bucketed_topk_recall(spark, emb):
+    """Bucketed ANN trades recall for pruning; with 4 planes (16 buckets on
+    120 vecs) recall@3 of the true top-1 neighbor should be substantial."""
+    brute_top1 = {
+        (r["query_id"], r["nbr_id"])
+        for r in cosine_topk(emb, emb, k=1).collect()
+    }
+    lsh = {}
+    for r in lsh_bucketed_topk(emb, k=3, n_planes=4).collect():
+        lsh.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    hits = sum(1 for q, n in brute_top1 if n in lsh.get(q, set()))
+    # random 64-dim embeddings are near-orthogonal — the adversarial case for
+    # hyperplane LSH; just require clearly-better-than-nothing recall here
+    # (clustered real-world embeddings fare far better)
+    assert hits / len(brute_top1) > 0.1
+    # every returned neighbor must share the query's bucket — sanity: no self pairs
+    assert all(q != n for q, ns in lsh.items() for n in ns)

@@ -1,0 +1,72 @@
+"""Streaming pipeline: availableNow stream over the same pages must produce
+the same canonical triples as the batch pipeline, and the windowed mention
+rollup must respect watermark semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.extract import extract_mentions
+from gazetteer_entity_parser_spark.operators.triples import (
+    canonicalize_triples,
+    cooccurrence_triples,
+)
+from gazetteer_entity_parser_spark.plans.pipeline import docs_from_sf_dir
+from gazetteer_entity_parser_spark.sources.builder_job import (
+    broadcast_parser,
+    build_parser_distributed,
+)
+from gazetteer_entity_parser_spark.sources.gazetteer import vocabulary_gazetteer
+from gazetteer_entity_parser_spark.streaming.stream import (
+    mention_rate_per_window,
+    read_webpage_stream,
+    start_triples_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return docs_from_sf_dir(spark, SF).limit(60).cache()
+
+
+@pytest.fixture(scope="module")
+def parser_bc(spark, pages):
+    gaz = vocabulary_gazetteer(pages.select("text"), 20)
+    return broadcast_parser(spark, build_parser_distributed(gaz, threshold=1.0))
+
+
+def test_stream_equals_batch(spark, pages, parser_bc, tmp_path):
+    input_dir = str(tmp_path / "pages_in")
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    pages.repartition(5).write.parquet(input_dir)
+
+    triples_path = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_webpage_stream(spark, input_dir, max_files=2)
+    q = start_triples_stream(spark, stream, parser_bc, triples_path, ckpt)
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in spark.read.parquet(triples_path).collect()
+    }
+    batch = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in canonicalize_triples(
+            cooccurrence_triples(extract_mentions(pages, parser_bc, window_tokens=10))
+        ).collect()
+    }
+    # micro-batch boundaries never split a document, so the merged totals match
+    assert streamed == batch
+
+
+def test_mention_rate_window(spark, pages, parser_bc):
+    mentions = extract_mentions(pages, parser_bc, window_tokens=10)
+    with_ts = mentions.join(pages.select("url", "warc_ts"), "url")
+    out = mention_rate_per_window(with_ts, "10 minutes", "10 minutes").collect()
+    assert len(out) > 0
+    total = sum(r["n_mentions"] for r in out)
+    assert total == mentions.count()
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 600
