@@ -31,6 +31,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "kg_stop_words_topn",
             "agg_pricing_summary",
             "join_broadcast_dims",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "sim_cosine_topk",
+            "text_quality_scores",
+            "text_fingerprint",
+            "media_features_full",
         ]
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 

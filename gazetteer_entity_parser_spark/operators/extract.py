@@ -167,3 +167,100 @@ def extract_mentions(
                 yield pd.DataFrame(out, columns=cols)
 
     return pruned.mapInPandas(run_batches, MENTIONS_SCHEMA)
+
+
+TRIPLE_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("subj_rank", T.IntegerType()),
+        T.StructField("obj_rank", T.IntegerType()),
+    ]
+)
+
+
+def extract_triple_partials(
+    docs: DataFrame,
+    parser_broadcast,
+    *,
+    key_col: str = "url",
+    text_col: str = "text",
+    window_tokens: int | None = 10,
+    num_partitions: int | None = None,
+    pred: str = "co_occurs_with",
+) -> DataFrame:
+    """Fused Stage B+C fast path: mentions -> within-window ordered pairs ->
+    PER-BATCH partial aggregation, all inside the one mapInPandas stage.
+
+    Every document is processed whole within one Arrow batch, so every
+    co-occurrence window is complete in-batch and pair generation needs no
+    shuffle at all; each batch emits ~|distinct triples| partial rows instead
+    of ~|mention pairs| raw rows. The only shuffle left in the whole
+    mentions->canonical-triples path is the final (subj, pred, obj) rollup
+    over tiny partials — at 10^12 documents this removes the 10^13-row pair
+    shuffle entirely. Canonical equality with the unfused path is pinned in
+    tests/test_triples_grouped.py.
+
+    Use the unfused operators when the raw triple table (url/sent_idx
+    provenance) must be materialized.
+    """
+    pruned = docs.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
+    if num_partitions:
+        pruned = pruned.repartition(
+            num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions))
+        )
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser: Parser = parser_broadcast.value
+        run = parser.run
+        for pdf in batches:
+            acc: dict[tuple[str, str], list] = {}
+            for text in pdf["text"].values:
+                if not text:
+                    continue
+                for _si, _off, _bt, window, toks in iter_windows(text, window_tokens):
+                    parsed = run(window, 0)
+                    if len(parsed) < 2:
+                        continue
+                    # kernel output is sorted by char range == token order
+                    ms = [(pv.resolved_value.resolved, pv.rank) for pv in parsed]
+                    for i in range(len(ms) - 1):
+                        s_res, s_rank = ms[i]
+                        for j in range(i + 1, len(ms)):
+                            o_res, o_rank = ms[j]
+                            hit = acc.get((s_res, o_res))
+                            if hit is None:
+                                acc[(s_res, o_res)] = [1, s_rank, o_rank]
+                            else:
+                                hit[0] += 1
+                                if s_rank < hit[1]:
+                                    hit[1] = s_rank
+                                if o_rank < hit[2]:
+                                    hit[2] = o_rank
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "subj": [k[0] for k in acc],
+                        "pred": pred,
+                        "obj": [k[1] for k in acc],
+                        "weight": [v[0] for v in acc.values()],
+                        "subj_rank": [v[1] for v in acc.values()],
+                        "obj_rank": [v[2] for v in acc.values()],
+                    }
+                )
+
+    return pruned.mapInPandas(run_batches, TRIPLE_PARTIALS_SCHEMA)
+
+
+def canonical_triples_fused(
+    docs: DataFrame, parser_broadcast, **kwargs
+) -> DataFrame:
+    """Final rollup over the fused partials — one small shuffle total."""
+    partials = extract_triple_partials(docs, parser_broadcast, **kwargs)
+    return partials.groupBy("subj", "pred", "obj").agg(
+        F.sum("weight").alias("weight"),
+        F.min("subj_rank").alias("subj_rank"),
+        F.min("obj_rank").alias("obj_rank"),
+    )

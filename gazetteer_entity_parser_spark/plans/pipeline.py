@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_mentions
-from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..operators.triples import canonicalize_triples, cooccurrence_triples_grouped
 from ..sources.builder_job import broadcast_parser, build_parser_distributed
 from ..sources.gazetteer import vocabulary_gazetteer
 from ..sources.sinks import merge_into
@@ -101,8 +101,9 @@ def run_pipeline(
     lineage_path = os.path.join(workdir, "lineage")
     lineage_for(mentions_ck, "mentions").write.mode("overwrite").parquet(lineage_path)
 
-    # ---- Stage C: triples
-    raw_triples = cooccurrence_triples(mentions_ck)
+    # ---- Stage C: triples (grouped pair expansion — one shuffle, reads the
+    # mention checkpoint so extraction never re-executes)
+    raw_triples = cooccurrence_triples_grouped(mentions_ck)
 
     # ---- Stage D: canonicalize + merge
     canonical = canonicalize_triples(raw_triples)

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_mentions
-from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..operators.triples import (
+    canonicalize_triples,
+    cooccurrence_triples,
+    cooccurrence_triples_grouped,
+)
 from ..sources.builder_job import (
     build_index_frames,
     build_parser_distributed,
@@ -133,7 +137,10 @@ def q_kg_triples_raw(spark, sf_dir):
 
 
 def q_kg_triples_canonical(spark, sf_dir):
-    return canonicalize_triples(cooccurrence_triples(_mentions(spark, sf_dir, "vocab"))).select(
+    # grouped pair expansion (one shuffle); same oracle as the join shape
+    return canonicalize_triples(
+        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
+    ).select(
         "subj", "pred", "obj",
         F.col("weight").cast("bigint").alias("weight"),
         F.col("subj_rank").cast("bigint").alias("subj_rank"),
