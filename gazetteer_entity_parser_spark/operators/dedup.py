@@ -76,6 +76,22 @@ def minhash_signature(shingles_col, k: int = 64):
     )
 
 
+def shingled_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_shingle: int = 3
+) -> DataFrame:
+    """(id, sh) with the shingle array MATERIALIZED (persist boundary).
+
+    Load-bearing: the minhash signature references its input 64 times; with a
+    plain projection, CollapseProject duplicates the whole shingle expression
+    into every transform and each row pays 64x the shingling cost (measured
+    ~50x slower end-to-end at sf0.1). A persist()'d InMemoryRelation is a
+    boundary the optimizer cannot inline across."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), n_shingle).alias("sh"),
+    ).persist()
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,25 +99,30 @@ def minhash_lsh_candidates(
     n_shingle: int = 3,
     k: int = 64,
     bands: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded minhash buckets.
     rows = bands * n_docs exploded; the self-join shuffles on (band, hash)."""
     rows_per_band = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(token_shingles(F.col(text_col), n_shingle), k).alias("sig"),
-    )
+    if shingled is None:
+        shingled = shingled_docs(docs, id_col, text_col, n_shingle)
+    sig = shingled.select("id", minhash_signature(F.col("sh"), k).alias("sig")).persist()
+    # bands unrolled as a literal F.array (driver-side loop): a
+    # transform(sequence(...)) lambda here drops the stage out of codegen and
+    # was measured ~70x slower (2.4ms/row interpreted)
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
-                        "bucket"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(b)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bh"),
     ).select("id", "bh.band", "bh.bucket")
@@ -125,11 +146,10 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold."""
-    shingled = docs.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), n_shingle).alias("sh"),
+    shingled = shingled_docs(docs, id_col, text_col, n_shingle)
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, n_shingle, k, bands, shingled=shingled
     )
-    cands = minhash_lsh_candidates(docs, id_col, text_col, n_shingle, k, bands)
     a = shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -39,11 +39,16 @@ def cosine_similar_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force, JVM-side)."""
-    v = emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    """All pairs with cosine >= threshold (brute force, JVM-side). Norms are
+    computed once per vector behind a persist() boundary so the O(n^2) pair
+    loop evaluates only the dot product (3x fewer HOF ops per pair, and no
+    CollapseProject re-inlining into both join branches)."""
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm(F.col("v"))).persist()
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
@@ -61,10 +66,21 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k neighbors per query vector (brute force): broadcast the queries,
-    score every index row, window top-k. Ties broken by neighbor id."""
-    idx = emb.select(F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("nbr_v"))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_v"))
-    cos = _dot(F.col("q_v"), F.col("nbr_v")) / (_norm(F.col("q_v")) * _norm(F.col("nbr_v")))
+    score every index row, window top-k. Ties broken by neighbor id. Norms
+    precomputed once per vector (persist boundary, see cosine_similar_pairs)."""
+    idx = (
+        emb.select(F.col(id_col).alias("nbr_id"), _as_double(F.col(vec_col)).alias("nbr_v"))
+        .withColumn("nbr_n", _norm(F.col("nbr_v")))
+        .persist()
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_v")
+        )
+        .withColumn("q_n", _norm(F.col("q_v")))
+        .persist()
+    )
+    cos = _dot(F.col("q_v"), F.col("nbr_v")) / (F.col("q_n") * F.col("nbr_n"))
     scored = (
         idx.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("nbr_id"))
@@ -78,25 +94,32 @@ def cosine_topk(
     )
 
 
-def hyperplane_signs(vec_col, n_planes: int = 8, dim: int = 64):
-    """Random-hyperplane LSH bucket id: sign bits of dot(v, h_p) where
-    h_p[i] = xxhash64(p, i) scaled to [-1, 1] — deterministic, no shipped
-    state. Returns an int bucket in [0, 2^n_planes)."""
-    # plane p component i: ((xxhash64(p*dim+i) mod 2001) - 1000) / 1000
-    def plane_dot(p):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.pmod(F.xxhash64(F.lit(p) * dim + i), F.lit(2001)) - 1000) / 1000.0,
+def _plane_component(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1] (blake2b
+    of (p, i) — stable across Python/OS, no RNG state to ship)."""
+    import hashlib
+
+    digest = hashlib.blake2b(f"{p}:{i}".encode(), digest_size=8).digest()
+    return (int.from_bytes(digest, "big") % 2001 - 1000) / 1000.0
+
+
+def hyperplane_signs(vec_col, n_planes: int = 8, dim: int = 64, table: int = 0):
+    """Random-hyperplane LSH bucket id: sign bits of dot(v, h_p). Plane
+    vectors are generated driver-side and inlined as literal arrays — a
+    transform(sequence(...)) per row would leave codegen and recompute the
+    planes per row. ``table`` selects an independent plane family (standard
+    L-tables construction). Returns an int bucket in [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        comps = F.array(
+            *[F.lit(_plane_component(table * 1000 + p, i)) for i in range(dim)]
         )
-        return F.aggregate(
+        dot = F.aggregate(
             F.zip_with(vec_col, comps, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket + F.when(plane_dot(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 
@@ -107,21 +130,43 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k per vector: candidates restricted to the same
-    hyperplane bucket, then exact cosine + window. Recall measured against
+    """Approximate top-k per vector: candidates = same-bucket pairs in ANY of
+    ``n_tables`` independent hyperplane tables (L-tables LSH), then exact
+    cosine + window over the deduped candidate set. Recall measured against
     :func:`cosine_topk` in tests."""
     v = emb.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
-        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        *[
+            hyperplane_signs(F.col(vec_col), n_planes, dim, table=t).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).withColumn("nrm", _norm(F.col("v"))).persist()
+
+    buckets = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.t", "tb.bucket")
+    cand = (
+        buckets.withColumnRenamed("id", "query_id")
+        .join(buckets.withColumnRenamed("id", "nbr_id"), ["t", "bucket"])
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
     )
-    a = v.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), "bucket")
-    b = v.select(F.col("id").alias("nbr_id"), F.col("v").alias("nbr_v"), "bucket")
-    cos = _dot(F.col("q_v"), F.col("nbr_v")) / (_norm(F.col("q_v")) * _norm(F.col("nbr_v")))
-    scored = a.join(b, "bucket").where(F.col("query_id") != F.col("nbr_id")).withColumn(
-        "cosine", cos
-    )
+    a = v.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_n"))
+    b = v.select(F.col("id").alias("nbr_id"), F.col("v").alias("nbr_v"), F.col("nrm").alias("n_n"))
+    cos = _dot(F.col("q_v"), F.col("nbr_v")) / (F.col("q_n") * F.col("n_n"))
+    scored = cand.join(a, "query_id").join(b, "nbr_id").withColumn("cosine", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
