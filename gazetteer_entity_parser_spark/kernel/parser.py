@@ -131,6 +131,9 @@ class ParsedValue:
     alternatives: tuple[ResolvedValue, ...] = ()
     entity: int = -1
     rank: int = -1
+    # engine extension: [first, last) token ordinals of the match within the
+    # input — lets downstream stages window/pair without re-tokenizing
+    tok_range: tuple[int, int] = (-1, -1)
 
 
 class Parser:
@@ -177,13 +180,23 @@ class Parser:
 
     # ------------------------------------------------------------------- run
 
-    def run(self, input_text: str, max_alternatives: int = 0) -> list[ParsedValue]:
-        """reference: src/parser.rs:146-149."""
+    def run(
+        self,
+        input_text: str,
+        max_alternatives: int = 0,
+        tokens: list[tuple[int, int, str]] | None = None,
+    ) -> list[ParsedValue]:
+        """reference: src/parser.rs:146-149. ``tokens`` may carry precomputed
+        ``tokenize(input_text)`` output (callers like the extraction operator
+        already hold it); when omitted it is computed once and shared by the
+        scan, the reduction re-walk, and the overlap loop."""
+        if tokens is None:
+            tokens = tokenize(input_text)
         table = self._single_token_lookup()
         if table is not None:
-            return self._run_single_token(input_text, max_alternatives, table)
-        heap = self._find_possible_matches(input_text, self.threshold, max_alternatives)
-        return self._parse_input(input_text, heap)
+            return self._run_single_token(input_text, max_alternatives, table, tokens)
+        heap = self._find_possible_matches(tokens, self.threshold, max_alternatives)
+        return self._parse_input(input_text, tokens, heap)
 
     # -------------------------------------------- pure-dictionary fast path
 
@@ -218,11 +231,11 @@ class Parser:
         return self._single_token_table
 
     def _run_single_token(
-        self, input_text: str, max_alternatives: int, table
+        self, input_text: str, max_alternatives: int, table, tokens
     ) -> list[ParsedValue]:
         out = []
         get = table.get
-        for start, end, token in tokenize(input_text):
+        for tok_idx, (start, end, token) in enumerate(tokens):
             postings = get(token)
             if postings is None:
                 continue
@@ -240,6 +253,7 @@ class Parser:
                     alternatives=alts,
                     entity=ev,
                     rank=rank,
+                    tok_range=(tok_idx, tok_idx + 1),
                 )
             )
         return out
@@ -247,7 +261,7 @@ class Parser:
     # ---------------------------------------------------------- candidate scan
 
     def _find_possible_matches(
-        self, input_text: str, threshold: float, max_alternatives: int
+        self, tokens: list[tuple[int, int, str]], threshold: float, max_alternatives: int
     ) -> list:
         """Single left-to-right pass growing one live match per entity
         (reference: src/parser.rs:222-309). Returns a heapq list of
@@ -261,7 +275,7 @@ class Parser:
         finals: list[PossibleMatch] = []
         skipped: dict[int, tuple[int, int, int]] = {}  # tok_idx -> (start, end, token_id)
 
-        for token_idx, (start, end, token) in enumerate(tokenize(input_text)):
+        for token_idx, (start, end, token) in enumerate(tokens):
             value = token_ids.get(token)
             if value is None:
                 continue
@@ -405,12 +419,13 @@ class Parser:
 
     # -------------------------------------------------- greedy overlap resolve
 
-    def _parse_input(self, input_text: str, heap: list) -> list[ParsedValue]:
+    def _parse_input(
+        self, input_text: str, toks: list[tuple[int, int, str]], heap: list
+    ) -> list[ParsedValue]:
         """Pop best-first; overlapping candidates are reduced and re-pushed if
         still above threshold; emitted spans claim their token positions
         (reference: src/parser.rs:506-572)."""
         reg = self.registry
-        toks = tokenize(input_text)
         n_total_tokens = len(toks)
         taken: set[int] = set()
         out: list[ParsedValue] = []
@@ -442,6 +457,7 @@ class Parser:
                     alternatives=alts,
                     entity=pm.entity,
                     rank=reg.entity_rank[pm.entity],
+                    tok_range=(pm.tok_start, pm.tok_end),
                 )
             )
             taken.update(range(pm.tok_start, pm.tok_end))

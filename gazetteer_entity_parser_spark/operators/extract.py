@@ -22,7 +22,6 @@ Scale design (SURVEY.md §4.3 Stage B):
 from __future__ import annotations
 
 import re
-from bisect import bisect_right
 from collections.abc import Iterator
 
 import pandas as pd
@@ -141,15 +140,16 @@ def extract_mentions(
                 for sent_idx, char_off, base_tok, window, toks in iter_windows(
                     text, window_tokens
                 ):
-                    parsed = run(window, max_alternatives)
+                    # the window's tokens are already computed — hand them to
+                    # the kernel so nothing tokenizes twice
+                    parsed = run(window, max_alternatives, tokens=toks)
                     if not parsed:
                         continue
-                    starts = [s for s, _e, _t in toks]
                     for pv in parsed:
                         begin, end = pv.range
                         out["url"].append(url)
                         out["sent_idx"].append(sent_idx)
-                        out["tok_idx"].append(base_tok + bisect_right(starts, begin) - 1)
+                        out["tok_idx"].append(base_tok + pv.tok_range[0])
                         out["begin"].append(char_off + begin)
                         out["end"].append(char_off + end)
                         out["matched_value"].append(pv.matched_value)
@@ -221,7 +221,7 @@ def extract_triple_partials(
                 if not text:
                     continue
                 for _si, _off, _bt, window, toks in iter_windows(text, window_tokens):
-                    parsed = run(window, 0)
+                    parsed = run(window, 0, tokens=toks)
                     if len(parsed) < 2:
                         continue
                     # kernel output is sorted by char range == token order

@@ -8,8 +8,11 @@ from gazetteer_entity_parser_spark.kernel import Parser, ParserBuilder
 
 
 def general_path(parser: Parser, text: str, max_alternatives: int):
-    heap = parser._find_possible_matches(text, parser.threshold, max_alternatives)
-    return parser._parse_input(text, heap)
+    from gazetteer_entity_parser_spark.kernel import tokenize
+
+    toks = tokenize(text)
+    heap = parser._find_possible_matches(toks, parser.threshold, max_alternatives)
+    return parser._parse_input(text, toks, heap)
 
 
 def test_fast_path_engages_and_matches_general():

@@ -100,8 +100,9 @@ def test_fast_path_equals_general(gaz, text, max_alt):
     parser = build(gaz, 1.0, 0)
     assert parser._single_token_lookup() is not None
     fast = parser.run(text, max_alt)
+    toks = tokenize(text)
     general = parser._parse_input(
-        text, parser._find_possible_matches(text, parser.threshold, max_alt)
+        text, toks, parser._find_possible_matches(toks, parser.threshold, max_alt)
     )
     assert fast == general
 
