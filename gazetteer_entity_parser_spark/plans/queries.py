@@ -233,6 +233,56 @@ def q_window_top3_orders(spark, sf_dir):
     )
 
 
+def q_join_semi_anti(spark, sf_dir):
+    """left-semi and left-anti joins: customers with vs without orders,
+    rolled up per nation."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-set family)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"))
+        .select("l_returnflag", "l_linestatus", "n_items")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT on key domains."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("key")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("key")
+    )
+    both = cust.intersect(orders).withColumn("which", F.lit("both"))
+    only_cust = cust.exceptAll(orders.distinct()).distinct().withColumn(
+        "which", F.lit("customer_only")
+    )
+    return both.unionByName(only_cust)
+
+
 def q_agg_events_by_type(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
@@ -402,6 +452,42 @@ ORACLES: dict[str, str] = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
         GROUP BY event_type
+    """,
+    "join_semi_anti": """
+        WITH w AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_with_orders
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        ),
+        wo AS (
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_without_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        )
+        SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+               COALESCE(n_with_orders, 0) AS n_with_orders,
+               COALESCE(n_without_orders, 0) AS n_without_orders
+        FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+    """,
+    "agg_rollup": """
+        SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops": """
+        SELECT key, 'both' AS which FROM (
+            SELECT c_custkey AS key FROM customer
+            INTERSECT
+            SELECT o_custkey AS key FROM orders
+        )
+        UNION ALL
+        SELECT key, 'customer_only' AS which FROM (
+            SELECT c_custkey AS key FROM customer
+            EXCEPT
+            SELECT o_custkey AS key FROM orders
+        )
     """,
     "dedup_exact_groups": """
         WITH all_docs AS (
@@ -665,6 +751,9 @@ QUERIES = {
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,
     "agg_events_by_type": q_agg_events_by_type,
+    "join_semi_anti": q_join_semi_anti,
+    "agg_rollup": q_agg_rollup,
+    "set_ops": q_set_ops,
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -193,6 +193,23 @@ def broadcast_parser(spark: SparkSession, parser: Parser):
     return spark.sparkContext.broadcast(parser)
 
 
+def prepend_and_rebroadcast(
+    spark: SparkSession,
+    old_broadcast,
+    new_values: list[tuple[str, str]],
+):
+    """Prepend values with rank rebasing (reference: src/parser.rs:108-116)
+    and publish a fresh broadcast (broadcasts are immutable)."""
+    import copy
+
+    parser = copy.deepcopy(old_broadcast.value)
+    parser.prepend_values(new_values)
+    parser._single_token_table = None  # postings changed; fast path re-derives
+    parser._single_token_checked = False
+    old_broadcast.unpersist()
+    return spark.sparkContext.broadcast(parser)
+
+
 def inject_and_rebroadcast(
     spark: SparkSession,
     old_broadcast,

@@ -66,6 +66,61 @@ def start_triples_stream(
     )
 
 
+def running_entity_totals(
+    mentions_stream: DataFrame,
+    checkpoint_dir: str,
+    output_path: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per resolved entity, a running (n_mentions, n_docs-ish) total maintained
+    in explicit state across micro-batches — the pattern for stateful logic
+    that watermarked aggregation can't express (e.g. monotone counters with
+    custom eviction). Emits one updated row per entity per batch.
+
+    State: (count: long, last_url: string). GroupStateTimeout: none — totals
+    are permanent for the run.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("resolved", T.StringType()),
+            T.StructField("n_mentions", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"resolved": [key[0]], "n_mentions": [total]})
+
+    updates = mentions_stream.groupBy("resolved").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # update-mode stream: append update rows; the latest total per entity
+        # is max(n_mentions) since totals are monotone
+        batch_df.write.mode("append").parquet(output_path)
+
+    return (
+        updates.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def mention_rate_per_window(
     mentions_with_ts: DataFrame,
     window: str = "10 minutes",

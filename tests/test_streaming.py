@@ -61,6 +61,33 @@ def test_stream_equals_batch(spark, pages, parser_bc, tmp_path):
     assert streamed == batch
 
 
+def test_stateful_running_totals(spark, pages, parser_bc, tmp_path):
+    from gazetteer_entity_parser_spark.streaming.stream import running_entity_totals
+
+    input_dir = str(tmp_path / "pages_in")
+    pages.repartition(4).write.parquet(input_dir)
+    stream = read_webpage_stream(spark, input_dir, max_files=1)  # several batches
+    mentions = extract_mentions(stream, parser_bc, window_tokens=10)
+    q = running_entity_totals(
+        mentions, str(tmp_path / "ckpt"), str(tmp_path / "totals")
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "totals")).collect()
+    totals = {}
+    for r in rows:
+        totals[r["resolved"]] = max(totals.get(r["resolved"], 0), r["n_mentions"])
+
+    batch = {
+        r["resolved"]: r["cnt"]
+        for r in extract_mentions(pages, parser_bc, window_tokens=10)
+        .groupBy("resolved")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert totals == batch
+
+
 def test_mention_rate_window(spark, pages, parser_bc):
     mentions = extract_mentions(pages, parser_bc, window_tokens=10)
     with_ts = mentions.join(pages.select("url", "warc_ts"), "url")
