@@ -146,6 +146,16 @@ class Parser:
         self.license_info = None
         self._single_token_table = None
         self._single_token_checked = False
+        self._rv_memo: dict[int, ResolvedValue] = {}
+
+    def _resolved_value(self, entity_id: int) -> ResolvedValue:
+        """Memoized entity materialization (strings per id never change;
+        injection returns a NEW Parser so the memo cannot go stale)."""
+        rv = self._rv_memo.get(entity_id)
+        if rv is None:
+            rv = ResolvedValue(*self.registry.get_resolved_value(entity_id))
+            self._rv_memo[entity_id] = rv
+        return rv
 
     def set_threshold(self, threshold: float) -> None:
         """reference: src/parser.rs:119-121 (stored as f32)."""
@@ -308,11 +318,12 @@ class Parser:
                         continue
                     self._update_previous(pm, token_idx, value, start, end, threshold, finals)
 
-        # flush surviving partials through the threshold filter
+        # flush surviving partials through the threshold filter; no copy
+        # needed — the partial map is discarded here
         # (reference: src/parser.rs:292-305)
         for pm in partial.values():
             if pm.check(1.0 if pm.entity in edge_cases else threshold):
-                finals.append(pm.copy())
+                finals.append(pm)
 
         return _group_matches(finals, max_alternatives)
 
@@ -434,7 +445,9 @@ class Parser:
         while heap and len(taken) < n_total_tokens:
             _key, _seq, pm = heapq.heappop(heap)
 
-            overlapping = {i for i in taken if pm.tok_start <= i < pm.tok_end}
+            # C-speed: spans are window-bounded (short), so intersecting the
+            # range beats scanning the taken set per pop
+            overlapping = taken.intersection(range(pm.tok_start, pm.tok_end))
             if overlapping:
                 reduced = _reduce_possible_match(toks, pm, overlapping)
                 if reduced is not None:
@@ -444,14 +457,12 @@ class Parser:
                         heapq.heappush(heap, (reduced.sort_key(), seq, reduced))
                 continue
 
-            resolved, raw = reg.get_resolved_value(pm.entity)
             alts = tuple(
-                ResolvedValue(*reg.get_resolved_value(alt_ev))
-                for alt_ev, _alt_rank in pm.alternatives
+                self._resolved_value(alt_ev) for alt_ev, _alt_rank in pm.alternatives
             )
             out.append(
                 ParsedValue(
-                    resolved_value=ResolvedValue(resolved, raw),
+                    resolved_value=self._resolved_value(pm.entity),
                     range=(pm.char_start, pm.char_end),
                     matched_value=input_text[pm.char_start : pm.char_end],
                     alternatives=alts,

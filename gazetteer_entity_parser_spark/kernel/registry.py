@@ -44,6 +44,7 @@ class Registry:
         "stop_words",
         "edge_cases",
         "injected",
+        "_id2tok",
     )
 
     def __init__(self) -> None:
@@ -57,6 +58,16 @@ class Registry:
         self.stop_words: frozenset[int] = frozenset()
         self.edge_cases: frozenset[int] = frozenset()
         self.injected: set[int] = set()
+        self._id2tok: dict[int, str] | None = None  # lazy inverse, len-guarded
+
+    def _id_to_token(self) -> dict[int, str]:
+        """Inverse token map, cached; tokens are append-only so a length
+        check is a sound invalidation test."""
+        cache = self._id2tok
+        if cache is None or len(cache) != len(self.token_ids):
+            cache = {tid: tok for tok, tid in self.token_ids.items()}
+            self._id2tok = cache
+        return cache
 
     # ------------------------------------------------------------------ build
 
@@ -186,7 +197,7 @@ class Registry:
     ) -> list[tuple[list[str], str, bool, int]]:
         """Invert the registry back to (tokens, resolved, is_injected, rank)
         rows sorted by rank (reference: src/parser_registry.rs:259-290)."""
-        id_to_token = {tid: tok for tok, tid in self.token_ids.items()}
+        id_to_token = self._id_to_token()
         out = []
         for ev, res in enumerate(self.resolved):
             is_injected = ev in self.injected
@@ -224,18 +235,18 @@ class Registry:
         """(resolved, raw_value) where raw_value is the interned tokens
         re-joined with single spaces — whitespace-normalizing
         (reference: src/parser_registry.rs:175-192)."""
-        id_to_token = {tid: tok for tok, tid in self.token_ids.items()}
+        id_to_token = self._id_to_token()
         raw = " ".join(id_to_token[t] for t in self.entity_tokens[entity_id])
         return self.resolved[entity_id], raw
 
     # ------------------------------------------------------ config snapshots
 
     def get_stop_words(self) -> set[str]:
-        id_to_token = {tid: tok for tok, tid in self.token_ids.items()}
+        id_to_token = self._id_to_token()
         return {id_to_token[t] for t in self.stop_words}
 
     def get_additional_stop_words(self) -> set[str]:
-        id_to_token = {tid: tok for tok, tid in self.token_ids.items()}
+        id_to_token = self._id_to_token()
         return {id_to_token[t] for t in self.additional_stop_words}
 
     def get_edge_cases(self) -> set[str]:
@@ -245,7 +256,7 @@ class Registry:
 
     def raw_values_joined(self) -> list[str]:
         """Per entity id, the space-joined raw value (used by pipelines)."""
-        id_to_token = {tid: tok for tok, tid in self.token_ids.items()}
+        id_to_token = self._id_to_token()
         return [
             " ".join(id_to_token[t] for t in toks) for toks in self.entity_tokens
         ]
