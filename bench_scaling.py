@@ -147,56 +147,57 @@ def run_level(cpus: int) -> dict:
         spark.stop()
 
 
+def _kernel_bench_worker(conn) -> None:
+    import time as _t
+
+    from gazetteer_entity_parser_spark.kernel import ParserBuilder, tokenize
+
+    words = [f"w{i}" for i in range(40)]
+    gaz = [(w, w.upper()) for w in words] + [
+        (f"w{i} w{i + 1}", f"W{i}") for i in range(20)
+    ]
+    parser = (
+        ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.6).n_stop_words(2).build()
+    )
+    text = " ".join(words[i % 55] if i % 55 < 40 else f"oov{i}" for i in range(100))
+    toks = tokenize(text)
+    for _ in range(50):
+        parser.run(text, 0, tokens=toks)  # warm
+    t0 = _t.perf_counter()
+    n = 0
+    while _t.perf_counter() - t0 < 6:
+        parser.run(text, 0, tokens=toks)
+        n += 1
+    conn.send(n * 100 / (_t.perf_counter() - t0))
+
+
 def measure_core_contention_floor() -> float:
-    """Socket-level measurement floor of this proxy: the SAME single-core
-    kernel workload, alone vs with all other cores busy. On one socket,
-    all-core turbo + shared memory bandwidth slow every core down when all
-    are active (~20-25% here) — an artifact a real N-node vs 4N-node cluster
-    does not have (each node keeps its own turbo/memory budget). Returns
-    busy/alone throughput ratio; raw efficiency divided by this ratio is the
-    hardware-normalized scaling efficiency."""
+    """Socket-level measurement floor of this proxy: per-core throughput of
+    the REAL (memory-heavy) kernel workload with all cores running it, vs one
+    core alone. Spin-loop probes miss this — the contention is memory
+    bandwidth, not CPU. Measured ~0.73 on this box: each core delivers only
+    ~73% under full-socket load, an artifact a real N-node vs 4N-node cluster
+    does not have (each node has its own memory bus). Raw efficiency divided
+    by this ratio is the hardware-normalized scaling efficiency."""
     import multiprocessing as mp
+    import statistics
 
-    def kernel_bench(conn) -> None:
-        import time as _t
+    def run_many(n: int) -> list[float]:
+        pipes, procs = [], []
+        for _ in range(n):
+            parent, child = mp.Pipe()
+            proc = mp.Process(target=_kernel_bench_worker, args=(child,))
+            proc.start()
+            pipes.append(parent)
+            procs.append(proc)
+        rates = [p.recv() for p in pipes]
+        for proc in procs:
+            proc.join()
+        return rates
 
-        from gazetteer_entity_parser_spark.kernel import ParserBuilder
-
-        words = [f"w{i}" for i in range(40)]
-        gaz = [(w, w.upper()) for w in words] + [("w0 w1", "W01"), ("w2 w3", "W23")]
-        parser = (
-            ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.6).n_stop_words(2).build()
-        )
-        text = " ".join(words[i % 55] if i % 55 < 40 else f"oov{i}" for i in range(100))
-        parser.run(text, 0)  # warm
-        t0 = _t.perf_counter()
-        for _ in range(1500):
-            parser.run(text, 0)
-        conn.send(1500 * 100 / (_t.perf_counter() - t0))
-
-    def spin() -> None:
-        while True:
-            pass
-
-    def run_once() -> float:
-        parent, child = mp.Pipe()
-        proc = mp.Process(target=kernel_bench, args=(child,))
-        proc.start()
-        rate = parent.recv()
-        proc.join()
-        return rate
-
-    alone = run_once()
+    alone = run_many(1)[0]
     n_cpus = os.cpu_count() or 32
-    spinners = [mp.Process(target=spin, daemon=True) for _ in range(n_cpus - 1)]
-    for s in spinners:
-        s.start()
-    time.sleep(0.5)
-    busy = run_once()
-    for s in spinners:
-        s.terminate()
-    for s in spinners:
-        s.join()
+    busy = statistics.median(run_many(n_cpus))
     return round(busy / alone, 3)
 
 
