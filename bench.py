@@ -50,6 +50,35 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
 
         mention_sec = timings.get("kg_mentions", 0.0)
         triple_sec = timings.get("kg_triples_canonical", 0.0)
+
+        # headline throughput: the fused mentions->canonical-triples pipeline
+        # on a x40-amplified corpus (fixed overhead amortized; the sf inputs
+        # alone are too small to exercise parallelism — see BENCH.md)
+        from pyspark.sql import functions as F
+
+        from gazetteer_entity_parser_spark.operators.extract import (
+            canonical_triples_fused,
+        )
+        from gazetteer_entity_parser_spark.plans.queries import _parser_cache
+        from gazetteer_entity_parser_spark.sources.webpages import (
+            webpages_from_documents,
+        )
+
+        replicas = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICAS", "40"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        amplified = (
+            webpages_from_documents(docs)
+            .select("url", "text")
+            .repartition(256, "url")
+            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+            .select(F.concat("url", F.lit("#"), "r").alias("url"), "text")
+        )
+        bc = _parser_cache(id(spark), sf_dir, "alias")
+        t0 = time.perf_counter()
+        n_fused = canonical_triples_fused(amplified, bc, window_tokens=10).count()
+        fused_sec = time.perf_counter() - t0
+        n_amplified = n_docs * replicas
+
         return {
             "metric": "kg_pipeline_headline_total",
             "value": round(sum(timings.values()), 3),
@@ -65,6 +94,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
                 if triple_sec
                 else None
             ),
+            "fused_pipeline": {
+                "n_docs": n_amplified,
+                "n_canonical_triples": n_fused,
+                "sec": round(fused_sec, 3),
+                "docs_per_sec": round(n_amplified / fused_sec, 1),
+            },
         }
     finally:
         spark.stop()
