@@ -33,7 +33,8 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "join_broadcast_dims",
             "dedup_minhash_lsh",
             "dedup_simhash",
-            "sim_cosine_topk",
+            "sim_ann_matmul_topk",  # scale-path ANN; brute-force cosine_topk
+            # stays oracle-checked at sf0.01 in the correctness gate
             "text_quality_scores",
             "text_fingerprint",
             "media_features_full",

@@ -99,11 +99,16 @@ def run_pipeline(
     mentions_ck = spark.read.parquet(mentions_path)
 
     lineage_path = os.path.join(workdir, "lineage")
-    lineage_for(mentions_ck, "mentions").write.mode("overwrite").parquet(lineage_path)
 
     # ---- Stage C: triples (grouped pair expansion — one shuffle, reads the
     # mention checkpoint so extraction never re-executes)
     raw_triples = cooccurrence_triples_grouped(mentions_ck)
+    triples_lineage = lineage_for(
+        raw_triples.withColumn("bucket", _bucket("url", cfg.n_buckets)), "triples"
+    )
+    lineage_for(mentions_ck, "mentions").unionByName(triples_lineage).write.mode(
+        "overwrite"
+    ).parquet(lineage_path)
 
     # ---- Stage D: canonicalize + merge
     canonical = canonicalize_triples(raw_triples)

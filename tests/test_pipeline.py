@@ -80,8 +80,11 @@ def test_mentions_slice_text(spark, result):
 def test_lineage_covers_all_buckets(spark, result):
     res, _docs, _ = result
     lineage = spark.read.parquet(res["lineage_path"]).collect()
-    assert sum(r["output_rows"] for r in lineage) == res["mentions"].count()
-    assert all(r["stage"] == "mentions" for r in lineage)
+    mention_rows = [r for r in lineage if r["stage"] == "mentions"]
+    triple_rows = [r for r in lineage if r["stage"] == "triples"]
+    assert sum(r["output_rows"] for r in mention_rows) == res["mentions"].count()
+    assert len(triple_rows) > 0  # stage-C lineage present per bucket
+    assert {r["stage"] for r in lineage} == {"mentions", "triples"}
 
 
 def test_checkpoint_replay_idempotent(spark, result):
@@ -89,7 +92,14 @@ def test_checkpoint_replay_idempotent(spark, result):
     mentions_before = sorted(
         map(tuple, res["mentions"].drop("alternatives").collect())
     )
-    lineage_before = sorted(map(tuple, spark.read.parquet(res["lineage_path"]).collect()))
+    lineage_before = sorted(
+        map(
+            tuple,
+            spark.read.parquet(res["lineage_path"])
+            .where(F.col("stage") == "mentions")
+            .collect(),
+        )
+    )
 
     # destroy one bucket's checkpoint, then replay just that bucket
     shutil.rmtree(f"{res['mentions_path']}/bucket=3")
