@@ -33,8 +33,9 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "join_broadcast_dims",
             "dedup_minhash_lsh",
             "dedup_simhash",
-            "sim_ann_matmul_topk",  # scale-path ANN; brute-force cosine_topk
-            # stays oracle-checked at sf0.01 in the correctness gate
+            "sim_ann_lsh_topk",  # scale-path self-ANN (bucketed, no driver
+            # collect); matmul-ANN (small-index contract) and brute-force
+            # cosine_topk stay oracle-checked at sf0.01 in the correctness gate
             "text_quality_scores",
             "text_fingerprint",
             "media_features_full",
@@ -74,7 +75,7 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
             .select(F.concat("url", F.lit("#"), "r").alias("url"), "text")
         )
-        bc = _parser_cache(id(spark), sf_dir, "alias")
+        bc = _parser_cache(spark, sf_dir, "alias")
         t0 = time.perf_counter()
         n_fused = canonical_triples_fused(amplified, bc, window_tokens=10).count()
         fused_sec = time.perf_counter() - t0

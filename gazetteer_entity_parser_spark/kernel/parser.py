@@ -157,9 +157,20 @@ class Parser:
             self._rv_memo[entity_id] = rv
         return rv
 
+    def _invalidate_run_caches(self) -> None:
+        """Drop lazily-built run-path caches after any in-place mutation of
+        the registry or threshold. The single-token dictionary fast path is
+        derived from postings + stop words + threshold on first run(); stale
+        copies would silently ignore later prepends (prepended values never
+        match, rebased ranks never win ties)."""
+        self._single_token_table = None
+        self._single_token_checked = False
+        self._rv_memo.clear()
+
     def set_threshold(self, threshold: float) -> None:
         """reference: src/parser.rs:119-121 (stored as f32)."""
         self.threshold = f32(threshold)
+        self._invalidate_run_caches()
 
     def inject_new_values(
         self,
@@ -181,12 +192,15 @@ class Parser:
         return out
 
     def prepend_values(self, new_values: list[tuple[str, str]]) -> list[int]:
-        """reference: src/parser.rs:108-116."""
+        """reference: src/parser.rs:108-116. Mutates the registry in place,
+        so all run-path caches are invalidated before returning."""
         from .tokenizer import tokens_only
 
-        return self.registry.prepend_values(
+        out = self.registry.prepend_values(
             [(tokens_only(raw), resolved) for raw, resolved in new_values]
         )
+        self._invalidate_run_caches()
+        return out
 
     # ------------------------------------------------------------------- run
 

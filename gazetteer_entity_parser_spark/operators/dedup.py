@@ -27,11 +27,21 @@ from pyspark.sql import functions as F
 # ----------------------------------------------------------------- exact dedup
 
 
+def _text_key(text_col):
+    """256-bit content digest used as the dedup group key: the exchange
+    carries 32-byte keys instead of the document bytes (at 100 TB a raw-text
+    group key shuffles the whole corpus). SHA-256 collisions are below any
+    practical error floor (standard content-addressing assumption)."""
+    return F.sha2(F.col(text_col) if isinstance(text_col, str) else text_col, 256)
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical texts: (keeper_id, n_copies) per duplicated
-    text; keeper = min id (deterministic)."""
+    text; keeper = min id (deterministic). Groups on a content digest, not
+    the text itself — see :func:`_text_key`."""
     return (
-        docs.groupBy(text_col)
+        docs.select(F.col(id_col), _text_key(text_col).alias("_h"))
+        .groupBy("_h")
         .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("keeper_id", "n_copies")
@@ -39,9 +49,12 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep one row per distinct text (the min-id row)."""
-    w_min = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    return docs.join(w_min, [text_col, id_col])
+    """Keep one row per distinct text (the min-id row). The min-id-per-text
+    table is built and joined on the 32-byte content digest so neither the
+    aggregation nor the join shuffles document bytes as keys."""
+    docs_h = docs.withColumn("_h", _text_key(text_col))
+    w_min = docs_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return docs_h.join(w_min, ["_h", id_col]).drop("_h")
 
 
 # ------------------------------------------------------------------- shingles
@@ -204,37 +217,63 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------- simhash
 
 
+def _fnv1a_64_batch(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a 64-bit over a batch of byte strings, vectorized across tokens:
+    one numpy pass per *byte position* (max token length iterations) instead
+    of one Python iteration per byte. Bit-identical to the scalar fold."""
+    n = len(tokens)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    buf = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for pos in range(int(lens.max()) if n else 0):
+            active = lens > pos
+            idx = starts[active] + pos
+            h[active] = (h[active] ^ buf[idx].astype(np.uint64)) * prime
+    return h
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc: sign of the per-bit sum of token hashes.
-    Vectorized numpy inside a pandas UDF (Arrow batches) — the bit-matrix
-    fold has no efficient built-in expression."""
+    Fully vectorized numpy inside a pandas UDF (Arrow batches): all tokens of
+    the batch are hashed in one byte-position-sweep FNV pass, and the per-doc
+    bit votes are one ``add.reduceat`` over the batch-wide sign matrix —
+    no per-byte or per-bit Python in the hot loop."""
     from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def simhash(texts: pd.Series) -> pd.Series:
+        tok_lists = [t.split() if t else [] for t in texts]
+        counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
         out = np.zeros(len(texts), dtype=np.int64)
-        for row, text in enumerate(texts):
-            if not text:
-                continue
-            toks = text.split()
-            if not toks:
-                continue
-            # deterministic 64-bit token hashes (FNV-1a, numpy-vectorizable)
-            hs = np.zeros(len(toks), dtype=np.uint64)
-            for t_i, tok in enumerate(toks):
-                h = np.uint64(0xCBF29CE484222325)
-                for byte in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ byte) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[t_i] = h
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for j in range(64):
-                if votes[j] > 0:
-                    fp |= np.uint64(1) << np.uint64(j)
-            out[row] = np.int64(fp.astype(np.int64))
+        nonempty = counts > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        # hash each DISTINCT token once (token streams are Zipf-distributed;
+        # per-occurrence hashing re-pays the FNV cost thousands of times)
+        codes, uniques = pd.factorize(
+            pd.Series([tok for tl in tok_lists for tok in tl]), sort=False
+        )
+        uh = _fnv1a_64_batch([u.encode("utf-8") for u in uniques])
+        # signs_u[u, j] = +1/-1 for bit j of unique token u's hash
+        # (little-endian byte/bit order lines columns up with bits 0..63)
+        bits_u = np.unpackbits(uh.view(np.uint8), bitorder="little").reshape(-1, 64)
+        signs_u = 2 * bits_u.astype(np.int32) - 1
+        # per-doc vote fold: gather the sign rows for the doc's token codes
+        # and segment-sum (no per-byte or per-bit Python anywhere)
+        offset = 0
+        for i in np.flatnonzero(nonempty):
+            c = counts[i]
+            votes = signs_u[codes[offset : offset + c]].sum(axis=0, dtype=np.int64)
+            offset += c
+            out[i] = np.packbits(votes > 0, bitorder="little").view(np.int64)[0]
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))

@@ -175,21 +175,38 @@ def lsh_bucketed_topk(
     )
 
 
+MAX_BROADCAST_INDEX_ROWS = 5_000_000
+
+
 def ann_topk_matmul(
     spark,
     emb: DataFrame,
+    index: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_index_rows: int = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """Fixed-index ANN: collect+broadcast the index matrix (numpy), stream
-    query rows through mapInPandas with one matmul per Arrow batch. At 100 TB
-    the queries stream and only the index is resident per executor."""
+    query rows through mapInPandas with one matmul per Arrow batch. The
+    physical contract is index << corpus (query 10^12 docs against a 10^6-row
+    index): only the index is ever driver-resident, and the collect is HARD
+    CAPPED at ``max_index_rows`` — an unbounded index must go through
+    :func:`lsh_bucketed_topk` instead. Results are exact top-k against the
+    given index (when index == corpus this equals :func:`cosine_topk`)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = emb.select(id_col, vec_col).collect()
+    index = emb if index is None else index
+    # limit(cap+1) bounds what can ever reach the driver; the length check
+    # then refuses over-cap indexes instead of silently truncating
+    rows = index.select(id_col, vec_col).limit(max_index_rows + 1).collect()
+    if len(rows) > max_index_rows:
+        raise ValueError(
+            f"ann_topk_matmul index exceeds max_index_rows={max_index_rows}; "
+            "a corpus-sized 'index' would OOM the driver — use lsh_bucketed_topk"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -223,7 +240,12 @@ def ann_topk_matmul(
                 for rk, (nid, c) in enumerate(zip(cand_ids, cand_cos), start=1):
                     out["query_id"].append(q_ids[r])
                     out["nbr_id"].append(int(nid))
-                    out["cosine"].append(round(float(c), 6))
+                    # round half away from zero: matches Spark F.round and
+                    # DuckDB round() (Python's round() is half-to-even)
+                    c = float(c)
+                    out["cosine"].append(
+                        np.copysign(np.floor(abs(c) * 1e6 + 0.5), c) / 1e6
+                    )
                     out["rk"].append(rk)
             yield pd.DataFrame(out)
 

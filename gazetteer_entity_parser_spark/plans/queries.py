@@ -16,8 +16,6 @@ sorted column name).
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,12 +43,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-@functools.lru_cache(maxsize=4)
-def _parser_cache(spark_id: int, sf_dir: str, which: str):
-    """Build-once-per-(session, sf, flavor) broadcast parser."""
-    from pyspark.sql import SparkSession
+_PARSER_CACHE: dict = {}
 
-    spark = SparkSession.getActiveSession()
+
+def _parser_cache(spark: SparkSession, sf_dir: str, which: str):
+    """Build-once-per-(application, sf, flavor) broadcast parser.
+
+    Keyed on ``applicationId`` (stable for the lifetime of a SparkContext),
+    not ``id(spark)`` — CPython id values are reused after GC, which could
+    alias a dead session's broadcast into a new one in a long-lived driver.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, which)
+    bc = _PARSER_CACHE.get(key)
+    if bc is not None:
+        return bc
     docs = _docs(spark, sf_dir)
     if which == "vocab":
         gaz = vocabulary_gazetteer(docs, N_VOCAB)
@@ -60,11 +66,15 @@ def _parser_cache(spark_id: int, sf_dir: str, which: str):
         parser = build_parser_distributed(
             gaz, threshold=0.6, n_stop_words=2, additional_stop_words=["hello"]
         )
-    return spark.sparkContext.broadcast(parser)
+    bc = spark.sparkContext.broadcast(parser)
+    if len(_PARSER_CACHE) >= 8:
+        _PARSER_CACHE.clear()
+    _PARSER_CACHE[key] = bc
+    return bc
 
 
 def _mentions(spark: SparkSession, sf_dir: str, which: str = "vocab") -> DataFrame:
-    bc = _parser_cache(id(spark), sf_dir, which)
+    bc = _parser_cache(spark, sf_dir, which)
     pages = webpages_from_documents(_docs(spark, sf_dir))
     return extract_mentions(
         pages, bc, max_alternatives=0, window_tokens=WINDOW_TOKENS, num_partitions=None
@@ -162,8 +172,9 @@ def q_kg_mentions_alias_kernel(spark, sf_dir):
 def q_kg_injection_rebuild(spark, sf_dir):
     """Entity injection as broadcast rebuild (reference: src/parser.rs:156-168):
     inject one new alias, re-extract, return only mentions of the injected
-    value. Rows-only check + pytest golden."""
-    bc = _parser_cache(id(spark), sf_dir, "vocab")
+    value. Oracle: prepended rank 0 wins every same-span tie, so the output
+    is exactly one mention per 'the' token occurrence."""
+    bc = _parser_cache(spark, sf_dir, "vocab")
     # prepend an alias that collides with an existing token: rank rebasing
     # must make the injected entity win every same-span tie
     parser = bc.value.inject_new_values(
@@ -174,6 +185,31 @@ def q_kg_injection_rebuild(spark, sf_dir):
     out = extract_mentions(pages, bc2, max_alternatives=0, window_tokens=WINDOW_TOKENS)
     return out.where(F.col("resolved") == "INJECTED_ENTITY").select(
         "url", "sent_idx", "tok_idx", "matched_value", "resolved"
+    )
+
+
+def q_kg_prepend_rank_rebase(spark, sf_dir):
+    """Prepend through the distributed build path (deepcopy + rank rebase +
+    fresh broadcast, reference: src/parser.rs:108-116 and
+    src/parser_registry.rs:69-84): prepended values take ranks 0..n-1 and
+    every existing rank shifts by +n. Output = the reconstructed gazetteer
+    (src/parser_registry.rs:259-290), which the oracle reproduces as the
+    rank-shifted vocabulary."""
+    from ..sources.builder_job import prepend_and_rebroadcast
+
+    bc = _parser_cache(spark, sf_dir, "vocab")
+    bc2 = prepend_and_rebroadcast(
+        spark, bc, [("zzz new alias", "NEW_A"), ("qqq", "NEW_B")]
+    )
+    rows = [
+        (" ".join(toks), resolved, rank)
+        for toks, resolved, _inj, rank in bc2.value.registry.get_entity_values(True)
+    ]
+    # the cached vocab broadcast was unpersisted by the rebroadcast; evict it
+    # so later queries rebuild instead of reusing an unpersisted handle
+    _PARSER_CACHE.pop((spark.sparkContext.applicationId, sf_dir, "vocab"), None)
+    return spark.createDataFrame(
+        rows, "raw_value string, resolved_value string, rank bigint"
     )
 
 
@@ -417,12 +453,36 @@ ORACLES: dict[str, str] = {
           ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx AND m1.tok_idx < m2.tok_idx
         GROUP BY 1, 2, 3
     """,
+    # prepend = new values at ranks 0..n-1, existing ranks shifted by +n
+    "kg_prepend_rank_rebase": f"""
+        WITH {_VOCAB_CTE[1:]}
+        SELECT 'zzz new alias' AS raw_value, 'NEW_A' AS resolved_value,
+               CAST(0 AS BIGINT) AS rank
+        UNION ALL
+        SELECT 'qqq' AS raw_value, 'NEW_B' AS resolved_value,
+               CAST(1 AS BIGINT) AS rank
+        UNION ALL
+        SELECT raw_value, resolved_value, CAST(rank + 2 AS BIGINT) AS rank
+        FROM vocab
+    """,
+    # injection prepends ('the' -> INJECTED_ENTITY) at rank 0; rank rebasing
+    # makes it win every same-span tie, so the output is exactly one mention
+    # per 'the' token occurrence (reference: src/parser_registry.rs:199-254)
+    "kg_injection_rebuild": f"""
+        WITH {_TOKS_CTE[1:]}
+        SELECT url,
+               CAST(floor(i / {WINDOW_TOKENS}) AS INT) AS sent_idx,
+               CAST(i AS INT) AS tok_idx,
+               'the' AS matched_value,
+               'INJECTED_ENTITY' AS resolved
+        FROM toks WHERE token = 'the'
+    """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-                   AS sum_disc_price_e4,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS BIGINT) AS sum_disc_price_e4,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -430,7 +490,7 @@ ORACLES: dict[str, str] = {
     """,
     "join_broadcast_dims": """
         SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -448,7 +508,7 @@ ORACLES: dict[str, str] = {
     """,
     "agg_events_by_type": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-               sum(CAST(round(value * 10000) AS BIGINT)) AS total_value_e4,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value_e4,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
         GROUP BY event_type
@@ -529,6 +589,42 @@ ORACLES: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE shared / (na.n + nb.n - shared) >= 0.5
     """,
+    # minhash-LSH emits candidates VERIFIED by exact shingle Jaccard >= 0.5,
+    # and at these thresholds banded minhash (k=64, 16 bands) recalls every
+    # qualifying pair (deterministic seeded xxhash64 family — pinned by the
+    # recall test in tests/test_dedup.py), so the exact relational Jaccard
+    # is a valid oracle for the output, not just an upper bound.
+    "dedup_minhash_lsh": """
+        WITH near AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1' AS text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM near)
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       tok || chr(31) || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS s
+                FROM toks
+            ) WHERE s IS NOT NULL
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(shared / (na.n + nb.n - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE shared / (na.n + nb.n - shared) >= 0.5
+    """,
     "sim_cosine_pairs": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -537,6 +633,20 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(a.e, b.e) >= 0.3
     """,
     "sim_cosine_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(a.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= 3
+    """,
+    # self-ANN with index == full corpus is EXACT top-k, so the brute-force
+    # cosine oracle applies verbatim (same k, same id tie-break)
+    "sim_ann_matmul_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
         FROM (
@@ -597,12 +707,84 @@ ORACLES: dict[str, str] = {
                    (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) AS fingerprint
         FROM documents
     """,
+    # language_id on an ASCII corpus never takes the CJK branch; the
+    # stop-word-profile argmax (strict >, langs scanned in sorted order, so
+    # ties resolve to the alphabetically-first language at the max) is
+    # directly expressible
+    "text_language_id": """
+        WITH toksl AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT d.doc_id,
+                   COALESCE(count(*) FILTER (tok IN ('the','and','of','to','in','is',
+                        'that','for','with','was')), 0) AS en,
+                   COALESCE(count(*) FILTER (tok IN ('le','la','les','de','et','un',
+                        'une','est','pour','que')), 0) AS fr,
+                   COALESCE(count(*) FILTER (tok IN ('el','la','los','de','y','un',
+                        'una','es','para','que')), 0) AS es,
+                   COALESCE(count(*) FILTER (tok IN ('der','die','das','und','ist',
+                        'ein','eine','zu','mit','von')), 0) AS de
+            FROM documents d LEFT JOIN toksl t ON d.doc_id = t.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM hits
+    """,
     "media_feature_summary": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CASE CAST(doc_id % 3 AS INT)
                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                CAST(octet_length(encode(text)) AS INT) AS n_bytes
         FROM documents
+    """,
+    # fake_decode = L1-normed 16-bucket histogram of (byte >> 4) over the
+    # UTF-8 payload; the corpus is ASCII so bytes == chars and the histogram
+    # is SQL-expressible. FLOAT/FLOAT in DuckDB is IEEE-754 float32, matching
+    # numpy's float32 division bit-exactly; both engines round doubles
+    # half-away-from-zero, so the e6 fixed-point encoding is hash-exact.
+    "media_features_full": """
+        WITH base AS (
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents
+        ),
+        chars AS (
+            SELECT media_id, ascii(substr(text, CAST(i AS INT), 1)) // 16 AS b
+            FROM (SELECT media_id, text,
+                         unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS i
+                  FROM base)
+        ),
+        hist AS (
+            SELECT media_id, b, CAST(count(*) AS BIGINT) AS cnt
+            FROM chars GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT base.media_id, base.n_bytes, gb.b
+            FROM base CROSS JOIN (SELECT unnest(range(0, 16)) AS b) gb
+        ),
+        feat AS (
+            SELECT g.media_id, g.b,
+                   CAST(round(CAST(CAST(COALESCE(h.cnt, 0) AS FLOAT)
+                                   / CAST(GREATEST(g.n_bytes, 1) AS FLOAT)
+                              AS DOUBLE) * 1000000) AS BIGINT) AS f_e6
+            FROM grid g
+            LEFT JOIN hist h ON g.media_id = h.media_id AND g.b = h.b
+        )
+        SELECT b.media_id, b.modality, b.n_bytes,
+               string_agg(CAST(f.f_e6 AS VARCHAR), ',' ORDER BY f.b) AS features_e6
+        FROM base b JOIN feat f ON f.media_id = b.media_id
+        GROUP BY 1, 2, 3
     """,
     "media_frame_plan": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -687,9 +869,13 @@ def q_sim_ann_lsh_topk(spark, sf_dir):
 
 
 def q_sim_ann_matmul_topk(spark, sf_dir):
+    """Self-ANN with index == corpus: EXACT top-k, so it shares the
+    sim_cosine_topk oracle. The test corpus is far below the operator's
+    broadcast-index row cap; corpus-sized inputs raise (see ann_topk_matmul)."""
     from ..operators.similarity import ann_topk_matmul
 
-    return ann_topk_matmul(spark, _emb(spark, sf_dir), k=3)
+    emb = _emb(spark, sf_dir)
+    return ann_topk_matmul(spark, emb, index=emb, k=3)
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -726,7 +912,23 @@ def q_media_feature_summary(spark, sf_dir):
 def q_media_features_full(spark, sf_dir):
     from ..operators.multimodal import extract_media_features, synthesize_media
 
-    return extract_media_features(synthesize_media(_docs(spark, sf_dir)))
+    feats = extract_media_features(synthesize_media(_docs(spark, sf_dir)))
+    # Driver-facing shape: the raw array<float> column breaks the harness's
+    # pandas canonicalizer (lists are unhashable), so expose the 16-dim
+    # feature vector as a stable comma-joined micro-unit string. float32
+    # division is IEEE-754-identical between numpy and DuckDB FLOAT, and both
+    # engines round doubles half-away-from-zero, so this is hash-exact.
+    # Pipeline users keep the array-typed extract_media_features() output.
+    f_e6 = F.transform(
+        "features",
+        lambda x: F.round(x.cast("double") * F.lit(1000000.0)).cast("long").cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "modality",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.concat_ws(",", f_e6).alias("features_e6"),
+    )
 
 
 def q_media_frame_plan(spark, sf_dir):
@@ -747,6 +949,7 @@ QUERIES = {
     "kg_triples_canonical": q_kg_triples_canonical,
     "kg_mentions_alias_kernel": q_kg_mentions_alias_kernel,
     "kg_injection_rebuild": q_kg_injection_rebuild,
+    "kg_prepend_rank_rebase": q_kg_prepend_rank_rebase,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,

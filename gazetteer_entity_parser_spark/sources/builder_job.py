@@ -66,8 +66,14 @@ def build_index_frames(gazetteer_df: DataFrame) -> dict[str, DataFrame]:
       token_df:  token, n_entities (distinct-entity frequency)
     """
     # entity id = position in rank order (reference interning order,
-    # src/parser_registry.rs:43-45: one fresh id per row)
-    w_rank = Window.orderBy(F.col("rank").asc())
+    # src/parser_registry.rs:43-45: one fresh id per row). Tie-break on
+    # (resolved_value, raw_value) so duplicate user-supplied ranks still get
+    # a total order — entity ids (and hence interning, postings, same-span
+    # tie resolution) must be deterministic across runs for idempotent
+    # replay and lineage checksums.
+    w_rank = Window.orderBy(
+        F.col("rank").asc(), F.col("resolved_value").asc(), F.col("raw_value").asc()
+    )
     entities = (
         gazetteer_df.withColumn("tokens", tokenize_udf(F.col("raw_value")))
         .where(F.size("tokens") > 0)  # empty-value filter (src/parser_registry.rs:39-41)
@@ -203,9 +209,7 @@ def prepend_and_rebroadcast(
     import copy
 
     parser = copy.deepcopy(old_broadcast.value)
-    parser.prepend_values(new_values)
-    parser._single_token_table = None  # postings changed; fast path re-derives
-    parser._single_token_checked = False
+    parser.prepend_values(new_values)  # invalidates the parser's run caches
     old_broadcast.unpersist()
     return spark.sparkContext.broadcast(parser)
 

@@ -46,10 +46,34 @@ def merge_into_iceberg(spark: SparkSession, target_table: str, updates: DataFram
     spark.sql(merge_sql(target_table, "_triples_updates"))
 
 
-def merge_into_parquet(spark: SparkSession, target_path: str, updates: DataFrame) -> None:
+def committed_tokens(target_path: str) -> set[str]:
+    """Commit tokens already merged into ``target_path`` (see
+    :func:`merge_into_parquet`'s ``commit_token``)."""
+    if not os.path.isdir(target_path):
+        return set()
+    prefix = "_commit_"
+    return {f[len(prefix):] for f in os.listdir(target_path) if f.startswith(prefix)}
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    commit_token: str | None = None,
+) -> bool:
     """Same upsert semantics as :func:`merge_sql` against a parquet dir.
     Write-to-temp + atomic rename keeps the target readable during the merge
-    and makes a failed merge replayable (lineage/idempotence contract)."""
+    and makes a failed merge replayable (lineage/idempotence contract).
+
+    ``commit_token`` makes the merge IDEMPOTENT for at-least-once callers
+    (foreachBatch retries a batch after a driver failure): a ``_commit_<tok>``
+    marker rides inside the directory that is atomically renamed into place,
+    so the token is durable iff that merge's result is, with no window where
+    one exists without the other. A re-invocation with an already-committed
+    token is a no-op. Returns True if the merge ran, False if skipped.
+    (Parquet readers ignore ``_``-prefixed files.)"""
+    if commit_token is not None and str(commit_token) in committed_tokens(target_path):
+        return False
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
         merged = (
@@ -65,12 +89,19 @@ def merge_into_parquet(spark: SparkSession, target_path: str, updates: DataFrame
         merged = updates
     tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
+    # carry forward prior commit markers, then add this merge's token —
+    # markers become durable atomically with the rename below
+    for tok in committed_tokens(target_path):
+        open(os.path.join(tmp, f"_commit_{tok}"), "w").close()
+    if commit_token is not None:
+        open(os.path.join(tmp, f"_commit_{commit_token}"), "w").close()
     old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
     if os.path.exists(old):
         shutil.rmtree(old)
+    return True
 
 
 def merge_into(

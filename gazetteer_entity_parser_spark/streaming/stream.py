@@ -48,15 +48,19 @@ def start_triples_stream(
     window_tokens: int | None = 10,
 ):
     """mentions -> triples per micro-batch, MERGE-upserted into the triples
-    store. foreachBatch + deterministic kernel + checkpointed source offsets
-    = exactly-once-per-batch upserts."""
+    store. foreachBatch is only at-least-once (a batch is retried if the
+    driver dies between the sink commit and the offset commit), so the merge
+    carries the batch_id as a commit token: a retried batch whose merge
+    already landed is skipped instead of double-counting its additive
+    weights. Combined with the deterministic kernel this yields effectively
+    exactly-once triple totals."""
     mentions = streaming_mentions(
         pages_stream, parser_broadcast, window_tokens=window_tokens
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         canonical = canonicalize_triples(cooccurrence_triples(batch_df))
-        merge_into_parquet(spark, triples_path, canonical)
+        merge_into_parquet(spark, triples_path, canonical, commit_token=str(batch_id))
 
     return (
         mentions.writeStream.foreachBatch(upsert)

@@ -63,3 +63,40 @@ def test_fast_path_unicode_offsets():
     parser = ParserBuilder().set_gazetteer([("дра", "DRA")]).minimum_tokens_ratio(1.0).build()
     out = parser.run("нет дра здесь", 0)
     assert [(p.range, p.matched_value) for p in out] == [((4, 7), "дра")]
+
+
+def test_run_then_prepend_then_run_invalidates_fast_path():
+    """Regression: prepend_values mutates the registry in place, so the
+    lazily-built single-token table (and rank-tie outcomes) must be
+    re-derived on the next run() — a stale table silently drops prepended
+    values (reference supports prepend on a built parser, src/parser.rs:108-116)."""
+    gaz = [(w, w.upper()) for w in ["apple", "pear"]]
+    parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(1.0).build()
+
+    # first run builds the fast-path table
+    assert [p.resolved_value.resolved for p in parser.run("apple banana", 0)] == ["APPLE"]
+
+    parser.prepend_values([("banana", "BANANA")])
+    out = parser.run("apple banana", 0)
+    assert [p.resolved_value.resolved for p in out] == ["APPLE", "BANANA"]
+
+    # rank-0 prepend must now win every same-span tie against the old rank-0
+    parser.prepend_values([("apple", "APPLE_OVERRIDE")])
+    out = parser.run("apple", 0)
+    assert [p.resolved_value.resolved for p in out] == ["APPLE_OVERRIDE"]
+    # and the fast path (if engaged) still equals the general path
+    assert parser.run("apple banana", 3) == general_path(parser, "apple banana", 3)
+
+
+def test_set_threshold_rederives_fast_path_gate():
+    parser = (
+        ParserBuilder()
+        .set_gazetteer([("a", "A"), ("b", "B")])
+        .minimum_tokens_ratio(1.0)
+        .build()
+    )
+    parser.run("a b", 0)
+    assert parser._single_token_table is not None
+    parser.set_threshold(0.5)
+    assert parser._single_token_checked is False
+    assert parser.run("a b", 0) == general_path(parser, "a b", 0)

@@ -122,3 +122,21 @@ def test_check_threshold_matches_f32_reference(n, s, t):
         return
     ratio32 = unpack("<f", pack("<f", n / (n + s)))[0]
     assert check_threshold(n, s, t32) == (ratio32 >= t32)
+
+
+def test_overlap_contract_explicit():
+    """The reference's ParsedValue Ord PANICS on overlapping ranges
+    (reference: src/data.rs:152-162) — i.e. emitted mentions are contractually
+    non-overlapping and sorted. Pin that explicitly on adversarial
+    overlapping-alias inputs (the property test covers random cases)."""
+    gaz = [("a b", "AB"), ("b c", "BC"), ("c a", "CA"), ("b", "B_SOLO")]
+    for threshold in (0.5, 2.0 / 3.0, 1.0):
+        parser = build(gaz, threshold, 0)
+        for text in ("a b c a b c", "b c a b", "a b b c c a", "b b b"):
+            out = parser.run(text, 2)
+            prev_end = -1
+            for pv in out:
+                begin, end = pv.range
+                assert begin >= prev_end, (text, threshold, out)
+                assert end > begin
+                prev_end = end

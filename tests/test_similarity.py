@@ -85,3 +85,16 @@ def test_lsh_bucketed_topk_recall(spark, emb):
     assert hits / len(brute_top1) > 0.1
     # every returned neighbor must share the query's bucket — sanity: no self pairs
     assert all(q != n for q, ns in lsh.items() for n in ns)
+
+
+def test_ann_matmul_refuses_oversized_index(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="max_index_rows"):
+        ann_topk_matmul(spark, emb, k=2, max_index_rows=5)

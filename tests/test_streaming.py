@@ -97,3 +97,29 @@ def test_mention_rate_window(spark, pages, parser_bc):
     assert total == mentions.count()
     for r in out:
         assert (r["window_end"] - r["window_start"]).total_seconds() == 600
+
+
+def test_merge_commit_token_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-merging an already-committed batch_id
+    must be a no-op (no double-counted additive weights)."""
+    from gazetteer_entity_parser_spark.sources.sinks import (
+        committed_tokens,
+        merge_into_parquet,
+    )
+
+    target = str(tmp_path / "triples_store")
+    batch = spark.createDataFrame(
+        [("A", "co_occurs_with", "B", 3, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    assert merge_into_parquet(spark, target, batch, commit_token="0") is True
+    # retry of the same batch: skipped
+    assert merge_into_parquet(spark, target, batch, commit_token="0") is False
+    # a new batch merges additively and carries prior markers forward
+    assert merge_into_parquet(spark, target, batch, commit_token="1") is True
+    assert committed_tokens(target) == {"0", "1"}
+    row = spark.read.parquet(target).collect()[0]
+    assert row["weight"] == 6
+    assert merge_into_parquet(spark, target, batch, commit_token="1") is False
+    assert spark.read.parquet(target).collect()[0]["weight"] == 6
