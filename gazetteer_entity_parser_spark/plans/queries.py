@@ -160,8 +160,9 @@ def q_kg_triples_canonical(spark, sf_dir):
 
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
-    θ=0.6, 2 stop words. Not SQL-expressible — rows-only driver check;
-    kernel parity pinned in tests/test_extract_spark.py."""
+    θ=0.6, 2 stop words. On the single-space salad corpus this is
+    SQL-expressible (see the oracle's derivation comment); general-input
+    kernel parity is pinned in tests/test_extract_spark.py."""
     return _mentions(spark, sf_dir, "alias").select(
         "url", "sent_idx", "tok_idx", "begin", "end",
         "matched_value", "resolved", "raw_value",
@@ -452,6 +453,74 @@ ORACLES: dict[str, str] = {
         FROM mentions m1 JOIN mentions m2
           ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx AND m1.tok_idx < m2.tok_idx
         GROUP BY 1, 2, 3
+    """,
+    # Full kernel semantics (θ=0.6, single+bigram aliases, 2 stop words) ARE
+    # SQL-expressible on this corpus because the text is single-space word
+    # salad with every token in the vocabulary: (a) a 1-of-2 partial bigram
+    # is 0.5 < f32(0.6), so only FULL bigram occurrences and singles survive
+    # the threshold; (b) stop words change nothing here — stop-word singles
+    # are edge cases (matched at θ=1.0, trivially full) and stop-word-bearing
+    # bigrams still need both tokens (skipped-backtrack only absorbs the
+    # immediately-adjacent token); (c) mentions never span the 10-token
+    # windows, excluding bigrams at i % 10 == 9; (d) greedy overlap
+    # resolution pops all bigrams (consumed 2) before singles, and within a
+    # maximal run of consecutive bigram-start positions the ranks strictly
+    # increase (chain tokens follow consecutive vocabulary ranks), so greedy
+    # = alternate positions from each run's start; singles survive exactly
+    # where no chosen bigram covers them. Verified row-for-row against the
+    # kernel at sf0.01 (26645 mentions).
+    "kg_mentions_alias_kernel": f"""
+        WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]},
+        rtoks AS (
+            SELECT t.doc_id, t.url, t.i, t.token, v.rank AS r,
+                   v.resolved_value AS res,
+                   CAST(t.i + COALESCE(SUM(length(t.token)) OVER (
+                        PARTITION BY t.doc_id ORDER BY t.i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS INT) AS beg,
+                   lead(t.token) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS next_tok,
+                   lead(v.rank) OVER (PARTITION BY t.doc_id ORDER BY t.i) AS next_r
+            FROM toks t LEFT JOIN vocab v ON t.token = v.raw_value
+        ),
+        runs AS (
+            SELECT *, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+            FROM rtoks
+            WHERE r < {N_VOCAB // 2} AND next_r = r + 1 AND i % {WINDOW_TOKENS} <> {WINDOW_TOKENS - 1}
+        ),
+        chosen AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, grp ORDER BY i) - 1 AS cpos
+                FROM runs
+            ) WHERE cpos % 2 = 0
+        ),
+        covered AS (
+            SELECT doc_id, i FROM chosen
+            UNION ALL
+            SELECT doc_id, i + 1 AS i FROM chosen
+        )
+        SELECT url,
+               CAST(floor(i / {WINDOW_TOKENS}) AS INT) AS sent_idx,
+               CAST(i AS INT) AS tok_idx,
+               beg AS "begin",
+               CAST(beg + length(token) + 1 + length(next_tok) AS INT) AS "end",
+               token || ' ' || next_tok AS matched_value,
+               res AS resolved,
+               token || ' ' || next_tok AS raw_value,
+               CAST(r + {N_VOCAB} AS BIGINT) AS rank
+        FROM chosen
+        UNION ALL
+        SELECT t.url,
+               CAST(floor(t.i / {WINDOW_TOKENS}) AS INT) AS sent_idx,
+               CAST(t.i AS INT) AS tok_idx,
+               t.beg AS "begin",
+               CAST(t.beg + length(t.token) AS INT) AS "end",
+               t.token AS matched_value,
+               t.res AS resolved,
+               t.token AS raw_value,
+               CAST(t.r AS BIGINT) AS rank
+        FROM rtoks t
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = t.doc_id AND c.i = t.i)
     """,
     # prepend = new values at ranks 0..n-1, existing ranks shifted by +n
     "kg_prepend_rank_rebase": f"""
