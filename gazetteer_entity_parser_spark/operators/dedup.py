@@ -321,3 +321,24 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------- embedding-cosine near-dup
+
+
+def embedding_near_dup_keepers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Single-pass min-id embedding dedup: drop any vector that has a
+    more-senior (lower-id) neighbor with cosine >= threshold; return the
+    kept ids. The pair scan reuses :func:`..similarity.cosine_similar_pairs`
+    — at scale swap in its LSH-bucketed candidate generation; the rule itself
+    (anti-join on the dominated side) is shape-identical either way."""
+    from .similarity import cosine_similar_pairs
+
+    pairs = cosine_similar_pairs(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dominated, id_col, "left_anti").select(id_col)

@@ -40,7 +40,15 @@ WINDOW_TOKENS = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf corpora are sub-megabyte single-split parquet files, so without
+    # an explicit spread every downstream kernel/dedup stage runs on ONE
+    # core; at production scale the scan yields thousands of splits and this
+    # repartition is unnecessary (explicit numPartitions => AQE won't
+    # re-coalesce it away). Profiled at local[32]/sf0.1: mentions extract
+    # 3.0s -> sub-second, simhash/minhash similar.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 _PARSER_CACHE: dict = {}
@@ -76,6 +84,8 @@ def _parser_cache(spark: SparkSession, sf_dir: str, which: str):
 def _mentions(spark: SparkSession, sf_dir: str, which: str = "vocab") -> DataFrame:
     bc = _parser_cache(spark, sf_dir, which)
     pages = webpages_from_documents(_docs(spark, sf_dir))
+    # partitioning comes from _docs' spread; extract's own salted
+    # num_partitions stays the production knob for skewed corpora
     return extract_mentions(
         pages, bc, max_alternatives=0, window_tokens=WINDOW_TOKENS, num_partitions=None
     )
@@ -694,6 +704,24 @@ ORACLES: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE shared / (na.n + nb.n - shared) >= 0.5
     """,
+    # min-id embedding dedup: keep vectors with no lower-id neighbor at
+    # cosine >= 0.95; injected copies are 1.01-scaled (direction preserved,
+    # double-multiply-then-float32-round is IEEE-identical in DuckDB)
+    "dedup_embedding_cosine": """
+        WITH alle AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(CAST(x * 1.01 AS FLOAT) AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id % 10 = 0
+        )
+        SELECT a.vec_id FROM alle a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM alle o
+            WHERE o.vec_id < a.vec_id AND list_cosine_similarity(o.e, a.e) >= 0.95
+        )
+    """,
     "sim_cosine_pairs": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -702,6 +730,20 @@ ORACLES: dict[str, str] = {
         WHERE list_cosine_similarity(a.e, b.e) >= 0.3
     """,
     "sim_cosine_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(a.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= 3
+    """,
+    # full-probe IVF (n_probe == n_cells) is EXACT top-k, so the brute-force
+    # cosine oracle applies verbatim (same k, same id tie-break)
+    "sim_ann_ivf_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
         FROM (
@@ -915,7 +957,37 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-split test parquet -> modest spread (see _docs). Kept small
+    # because the brute-force baselines are cartesian: a CartesianProduct of
+    # p-partition sides runs p^2 tasks, so 8 partitions = 64 tasks (~2x
+    # cores) where 64 partitions would be 4096 tiny tasks (measured 2x
+    # slower end-to-end at sf0.1).
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8, "vec_id")
+
+
+def _emb_with_near_dups(spark, sf_dir):
+    """Near-dup-injected embeddings: every 10th vector duplicated with
+    id+1_000_000, scaled by 1.01 (scaling preserves direction, so the copy's
+    cosine to its source is ~1.0 — a robust near-dup at any threshold). The
+    double-multiply-then-float32-round is IEEE-identical in DuckDB."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    return e.unionByName(copies)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: keep only vectors with no more-senior
+    (lower-id) neighbor at cosine >= 0.95 (single-pass min-id rule)."""
+    from ..operators.dedup import embedding_near_dup_keepers
+
+    return embedding_near_dup_keepers(
+        _emb_with_near_dups(spark, sf_dir), threshold=0.95
+    )
 
 
 def q_sim_cosine_pairs(spark, sf_dir):
@@ -935,6 +1007,17 @@ def q_sim_ann_lsh_topk(spark, sf_dir):
     from ..operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_emb(spark, sf_dir), k=3, n_planes=4)
+
+
+def q_sim_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with every cell probed (n_probe == n_cells): the candidate set
+    is the full index, so the result is EXACT top-k and shares the brute
+    cosine oracle — while still exercising the real IVF plan (centroid
+    assignment in codegen, cell-key equi-join). Partial-probe recall is
+    pinned in tests/test_similarity.py."""
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(spark, _emb(spark, sf_dir), k=3, n_cells=8, n_probe=8)
 
 
 def q_sim_ann_matmul_topk(spark, sf_dir):
@@ -1029,10 +1112,12 @@ QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
     "sim_cosine_pairs": q_sim_cosine_pairs,
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+    "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
     "sim_ann_matmul_topk": q_sim_ann_matmul_topk,
     "text_token_stats": q_text_token_stats,
     "text_quality_scores": q_text_quality_scores,

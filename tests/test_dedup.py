@@ -95,3 +95,17 @@ def test_simhash_near_duplicates(spark, corpus):
     assert pairs.get((1, 2)) == 0
     # near dups differ in few tokens -> small hamming; unrelated docs absent
     assert not any((4 in p or 5 in p) for p in pairs)
+
+
+def test_embedding_near_dup_keepers(spark):
+    from gazetteer_entity_parser_spark.operators.dedup import embedding_near_dup_keepers
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),   # orthogonal: kept
+        (2, [1.01, 0.0, 0.0, 0.0]),  # scaled copy of 0: dropped (higher id)
+        (3, [0.0, 0.0, 1.0, 0.1]),   # kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kept = {r["vec_id"] for r in embedding_near_dup_keepers(emb, threshold=0.95).collect()}
+    assert kept == {0, 1, 3}

@@ -98,3 +98,28 @@ def test_ann_matmul_refuses_oversized_index(spark):
 
     with pytest.raises(ValueError, match="max_index_rows"):
         ann_topk_matmul(spark, emb, k=2, max_index_rows=5)
+
+
+def test_ivf_full_probe_is_exact(spark):
+    from pyspark.sql import functions as F
+    from gazetteer_entity_parser_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {tuple(r) for r in cosine_topk(emb, emb, k=3).collect()}
+    ivf = {tuple(r) for r in ivf_topk(spark, emb, k=3, n_cells=4, n_probe=4).collect()}
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from gazetteer_entity_parser_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=3).collect()}
+    approx = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivf_topk(spark, emb, k=3, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, recall  # partial probing keeps a useful share
+    # and the probed candidate set is genuinely smaller than brute force
+    assert len(approx - exact) < len(exact)
