@@ -146,6 +146,8 @@ class Parser:
         self.license_info = None
         self._single_token_table = None
         self._single_token_checked = False
+        self._le2_tables = None
+        self._le2_checked = False
         self._rv_memo: dict[int, ResolvedValue] = {}
 
     def _resolved_value(self, entity_id: int) -> ResolvedValue:
@@ -165,6 +167,8 @@ class Parser:
         match, rebased ranks never win ties)."""
         self._single_token_table = None
         self._single_token_checked = False
+        self._le2_tables = None
+        self._le2_checked = False
         self._rv_memo.clear()
 
     def set_threshold(self, threshold: float) -> None:
@@ -219,6 +223,9 @@ class Parser:
         table = self._single_token_lookup()
         if table is not None:
             return self._run_single_token(input_text, max_alternatives, table, tokens)
+        tables = self._le2_lookup()
+        if tables is not None:
+            return self._run_le2(input_text, max_alternatives, tables, tokens)
         heap = self._find_possible_matches(tokens, self.threshold, max_alternatives)
         return self._parse_input(input_text, tokens, heap)
 
@@ -280,6 +287,146 @@ class Parser:
                     tok_range=(tok_idx, tok_idx + 1),
                 )
             )
+        return out
+
+    # ----------------------------------------- 1-2-token-entry fast path
+
+    def _le2_lookup(self):
+        """Specialized physical plan for gazetteers whose entries are all 1
+        or 2 tokens with θ > 0.5 (the KG pipeline's alias-gazetteer flavor).
+        Under those preconditions the general machinery provably reduces to
+        dictionary probes + a tiny greedy:
+
+        - a 1-of-2 partial is 1/2 = 0.5 < θ, so it never passes the flush
+          check and the pos-1 insert is early-pruned — ONLY full adjacent
+          bigram occurrences and full singles survive;
+        - stop words are a NO-OP for candidates: a stop token's single entity
+          is by definition an edge case (all its tokens are stop words) and
+          matches at θ=1.0 trivially (full), while stop-bearing bigrams still
+          require physical adjacency (the skipped-stop-word backtrack in
+          _insert_new only absorbs the immediately preceding token, and
+          growth requires token_idx == last+1);
+        - (t, t) entities alternate within equal-token runs: the single live
+          match per entity flushes at the run's 1st, 3rd, ... pair and the
+          restart consumes the intervening token (one-live-match rule);
+        - greedy overlap: every bigram (consumed 2) pops before every single
+          (consumed 1); among bigrams rank asc with same-rank (= same-entity)
+          ties in scan order; a reduced overlapper is 1/2 < θ and dies, so
+          singles survive exactly where no chosen bigram covers them;
+        - groups are span-homogeneous (a 1-token span only groups 1-token
+          entities, a 2-token span only entities with that exact ordered
+          token pair), so the alternatives cutoff at the first larger
+          raw_value_length never triggers and alternatives are simply the
+          remaining same-key entities in rank order.
+
+        Unique ranks are part of the gate: with duplicate ranks the general
+        path breaks ties by flush order, which this plan does not model.
+        Equivalence is pinned against the general path in
+        tests/test_fast_path.py (randomized + hypothesis property tests).
+        """
+        if not self._le2_checked:
+            self._le2_checked = True
+            reg = self.registry
+            ranks = reg.entity_rank
+            if (
+                reg.entity_tokens
+                and 0.5 < self.threshold <= 1.0
+                and all(len(t) <= 2 for t in reg.entity_tokens)
+                and len(set(ranks)) == len(ranks)
+            ):
+                id_to_token = reg._id_to_token()
+                singles: dict[str, list] = {}
+                bigrams: dict[tuple[str, str], list] = {}
+                for ev, tok_ids in enumerate(reg.entity_tokens):
+                    strs = tuple(id_to_token[t] for t in tok_ids)
+                    entry = (ranks[ev], ev, ResolvedValue(reg.resolved[ev], " ".join(strs)))
+                    if len(strs) == 1:
+                        singles.setdefault(strs[0], []).append(entry)
+                    else:
+                        bigrams.setdefault(strs, []).append(entry)
+                for lst in singles.values():
+                    lst.sort(key=lambda e: e[0])
+                for lst in bigrams.values():
+                    lst.sort(key=lambda e: e[0])
+                self._le2_tables = (singles, bigrams)
+        return self._le2_tables
+
+    def _run_le2(
+        self, input_text: str, max_alternatives: int, tables, tokens
+    ) -> list[ParsedValue]:
+        singles, bigrams = tables
+        n = len(tokens)
+        out: list[ParsedValue] = []
+
+        # enumerate bigram candidates in scan order; (t, t) keys alternate
+        # within equal-token runs (see _le2_lookup). A single tracker is
+        # enough: consecutive candidates at i-1 and i force key[0] == key[1].
+        cands = []
+        bget = bigrams.get
+        prev_tt_cand = -2
+        for i in range(n - 1):
+            key = (tokens[i][2], tokens[i + 1][2])
+            entries = bget(key)
+            if entries is None:
+                continue
+            if key[0] == key[1]:
+                if prev_tt_cand == i - 1:
+                    continue
+                prev_tt_cand = i
+            cands.append((entries[0][0], i, entries))
+
+        taken = bytearray(n)
+        if cands:
+            cands.sort(key=lambda c: (c[0], c[1]))
+            for rank0, i, entries in cands:
+                if taken[i] or taken[i + 1]:
+                    continue
+                taken[i] = taken[i + 1] = 1
+                _r, ev0, rv0 = entries[0]
+                alts = (
+                    tuple(e[2] for e in entries[1 : max_alternatives + 1])
+                    if max_alternatives and len(entries) > 1
+                    else ()
+                )
+                start = tokens[i][0]
+                end = tokens[i + 1][1]
+                out.append(
+                    ParsedValue(
+                        resolved_value=rv0,
+                        range=(start, end),
+                        matched_value=input_text[start:end],
+                        alternatives=alts,
+                        entity=ev0,
+                        rank=rank0,
+                        tok_range=(i, i + 2),
+                    )
+                )
+
+        sget = singles.get
+        for i, (start, end, token) in enumerate(tokens):
+            if taken[i]:
+                continue
+            entries = sget(token)
+            if entries is None:
+                continue
+            rank0, ev0, rv0 = entries[0]
+            alts = (
+                tuple(e[2] for e in entries[1 : max_alternatives + 1])
+                if max_alternatives and len(entries) > 1
+                else ()
+            )
+            out.append(
+                ParsedValue(
+                    resolved_value=rv0,
+                    range=(start, end),
+                    matched_value=token,
+                    alternatives=alts,
+                    entity=ev0,
+                    rank=rank0,
+                    tok_range=(i, i + 1),
+                )
+            )
+        out.sort(key=lambda p: p.range)
         return out
 
     # ---------------------------------------------------------- candidate scan

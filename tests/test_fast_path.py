@@ -100,3 +100,65 @@ def test_set_threshold_rederives_fast_path_gate():
     parser.set_threshold(0.5)
     assert parser._single_token_checked is False
     assert parser.run("a b", 0) == general_path(parser, "a b", 0)
+
+
+# ------------------------------------------------------ le2 fast path
+
+
+def test_le2_engages_for_bigram_gazetteer():
+    gaz = [("a b", "AB"), ("c", "C")]
+    parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.6).build()
+    assert parser._single_token_lookup() is None
+    assert parser._le2_lookup() is not None
+
+
+def test_le2_refuses_low_threshold_and_long_entries():
+    p1 = ParserBuilder().set_gazetteer([("a b", "AB")]).minimum_tokens_ratio(0.5).build()
+    assert p1._le2_lookup() is None  # 1-of-2 partials survive at θ=0.5
+    p2 = ParserBuilder().set_gazetteer([("a b c", "ABC")]).minimum_tokens_ratio(0.8).build()
+    assert p2._le2_lookup() is None
+
+
+def test_le2_matches_general_randomized():
+    """Exhaustive-ish randomized equivalence: 1-2-token gazetteers over a
+    tiny alphabet (repeated-token entities, stop words, additional stop
+    words, shared tokens), θ > 0.5, all alternative counts."""
+    rng = random.Random(1234)
+    words = ["a", "b", "c", "d", "the"]
+    for trial in range(60):
+        n_entries = rng.randint(1, 7)
+        gaz = []
+        for e in range(n_entries):
+            n_toks = rng.randint(1, 2)
+            raw = " ".join(rng.choice(words) for _ in range(n_toks))
+            gaz.append((raw, f"E{e}"))
+        threshold = rng.choice([0.6, 0.75, 0.9, 1.0])
+        n_stop = rng.choice([0, 1, 2])
+        builder = (
+            ParserBuilder()
+            .set_gazetteer(gaz)
+            .minimum_tokens_ratio(threshold)
+            .n_stop_words(n_stop)
+        )
+        if rng.random() < 0.3:
+            builder = builder.set_additional_stop_words(["the", "zz"])
+        parser = builder.build()
+        assert parser._le2_lookup() is not None, (gaz, threshold)
+        for _ in range(25):
+            text = " ".join(
+                rng.choice(words + ["zz", "q"]) for _ in range(rng.randint(0, 14))
+            )
+            for max_alt in (0, 1, 5):
+                got = parser.run(text, max_alt)
+                want = general_path(parser, text, max_alt)
+                assert got == want, (gaz, threshold, n_stop, text, max_alt, got, want)
+
+
+def test_le2_repeated_token_entity_alternation():
+    """(t, t) entities must alternate within equal-token runs exactly like
+    the one-live-match scan (including the case where a losing overlapped
+    pair must NOT resurrect a kernel-never-emitted candidate)."""
+    gaz = [("x a", "XA"), ("a a", "AA")]  # XA rank 0 beats AA rank 1
+    parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.6).build()
+    for text in ("x a a a", "a a a a a", "x a a", "a a x a a"):
+        assert parser.run(text, 0) == general_path(parser, text, 0), text
