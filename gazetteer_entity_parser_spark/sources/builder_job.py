@@ -136,14 +136,43 @@ def edge_cases_df(frames: dict[str, DataFrame], stop_words: DataFrame) -> DataFr
     )
 
 
+# below this, one collect + the sequential kernel build beats ~6 Spark jobs
+# of window/UDF overhead; above it, the DataFrame build amortizes
+SMALL_GAZETTEER_ROWS = 100_000
+
+
 def build_registry_distributed(
     gazetteer_df: DataFrame,
     n_stop_words: int = 0,
     additional_stop_words: list[str] | None = None,
+    small_gazetteer_rows: int = SMALL_GAZETTEER_ROWS,
 ) -> Registry:
     """Run the DataFrame build and assemble the (small) Registry on the
     driver. Must be bit-identical to the kernel's sequential build — pinned
-    by tests/test_builder_job.py."""
+    by tests/test_builder_job.py.
+
+    Dimension-scale fast path: a gazetteer under ``small_gazetteer_rows`` is
+    collected once and indexed by the sequential kernel build (the exact
+    plan the reference uses, src/parser_builder.rs:90-105) — spending six
+    Spark jobs of window/UDF fixed overhead to index a broadcast-sized
+    dimension is the wrong physical plan. The DataFrame build below remains
+    the path for 10^5+-row gazetteers; equality of the two is pinned in
+    tests (pass ``small_gazetteer_rows=0`` to force the DataFrame path)."""
+    if small_gazetteer_rows > 0:
+        probe = (
+            gazetteer_df.select("raw_value", "resolved_value", "rank")
+            .limit(small_gazetteer_rows + 1)
+            .collect()
+        )
+        if len(probe) <= small_gazetteer_rows:
+            # same total order as build_index_frames' entity-id window
+            probe.sort(key=lambda r: (r["rank"], r["resolved_value"], r["raw_value"]))
+            reg = Registry()
+            for r in probe:
+                reg.add_raw_value(r["raw_value"], r["resolved_value"], r["rank"])
+            reg.set_stop_words(n_stop_words, additional_stop_words)
+            return reg
+
     frames = build_index_frames(gazetteer_df)
 
     entity_rows = (

@@ -41,14 +41,23 @@ def kernel_registry(n_stop_words=0, additional=None):
 
 
 def test_distributed_build_equals_kernel_build(spark, gaz_df):
-    dist = build_registry_distributed(gaz_df)
+    # force the DataFrame path so the distributed build itself stays pinned
+    dist = build_registry_distributed(gaz_df, small_gazetteer_rows=0)
     assert dist == kernel_registry()
+    # and the small-gazetteer collect fast path must be identical to both
+    assert build_registry_distributed(gaz_df) == dist
 
 
 def test_distributed_build_with_stop_words(spark, gaz_df):
-    dist = build_registry_distributed(gaz_df, n_stop_words=2, additional_stop_words=["hello"])
+    dist = build_registry_distributed(
+        gaz_df, n_stop_words=2, additional_stop_words=["hello"], small_gazetteer_rows=0
+    )
     ker = kernel_registry(n_stop_words=2, additional=["hello"])
     assert dist == ker
+    assert (
+        build_registry_distributed(gaz_df, n_stop_words=2, additional_stop_words=["hello"])
+        == dist
+    )
     assert dist.get_stop_words() == {"the", "stones", "hello"}
     assert dist.get_edge_cases() == {"The Stones"}
 
