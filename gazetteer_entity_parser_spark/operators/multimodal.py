@@ -140,3 +140,79 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """DETERMINISTIC FAKE resize standing in for the decode->scale->encode
+    round trip (PIL.Image.resize): nearest-neighbor sampling of the payload
+    byte stream to exactly width*height bytes. Deterministic, size-exact, and
+    cheap — the Spark-side plumbing (schema, Arrow batching, meta rewrite) is
+    what this exercises."""
+    n_out = width * height
+    if not payload:
+        return bytes(n_out)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = (np.arange(n_out, dtype=np.int64) * len(arr)) // n_out
+    return arr[idx].tobytes()
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize every image payload to width x height (audio/video pass through
+    untouched); one numpy pass per Arrow batch via mapInPandas. Swapping
+    :func:`fake_resize` for a real decoder-backed resize changes one
+    function, not the plan."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            metas = []
+            for payload, modality, meta in zip(
+                pdf["payload"], pdf["modality"], pdf["meta"]
+            ):
+                if modality == "image":
+                    payloads.append(fake_resize(payload, width, height))
+                    metas.append(
+                        {
+                            "width": width,
+                            "height": height,
+                            "sample_rate": meta["sample_rate"],
+                            "n_frames": meta["n_frames"],
+                        }
+                    )
+                else:
+                    payloads.append(payload)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.select("media_id", "modality", "payload", "meta").mapInPandas(
+        do_resize, RESIZED_SCHEMA
+    )

@@ -897,6 +897,26 @@ ORACLES: dict[str, str] = {
         FROM base b JOIN feat f ON f.media_id = b.media_id
         GROUP BY 1, 2, 3
     """,
+    # fake_resize = nearest-neighbor byte sampling to 64*64 bytes: output
+    # byte i = payload[(i*len)//4096]; the corpus is ASCII so the resized
+    # bytes are reconstructible with substr and md5-comparable across engines
+    "media_resize": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(4096 AS BIGINT)
+                    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+               CASE WHEN doc_id % 3 = 0 THEN md5(array_to_string(
+                        list_transform(range(0, 4096),
+                            i -> substr(text, CAST(i * length(text) // 4096 AS INT) + 1, 1)),
+                        ''))
+                    ELSE md5(text) END AS payload_md5,
+               CASE WHEN doc_id % 3 = 0 THEN 64
+                    ELSE CAST(doc_id % 640 + 32 AS INT) END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN 64
+                    ELSE CAST(doc_id % 480 + 32 AS INT) END AS height
+        FROM documents
+    """,
     "media_frame_plan": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(unnest(range(0, CAST(doc_id % 300 + 1 AS BIGINT), 10)) AS INT) AS frame_idx
@@ -1083,6 +1103,23 @@ def q_media_features_full(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize every image payload to 64x64 via the mapInPandas plumbing
+    (fake nearest-neighbor byte resize standing in for the stubbed decoder);
+    md5 of the resized payload pins the bytes against the oracle."""
+    from ..operators.multimodal import resize_media, synthesize_media
+
+    resized = resize_media(synthesize_media(_docs(spark, sf_dir)), width=64, height=64)
+    return resized.select(
+        "media_id",
+        "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+    )
+
+
 def q_media_frame_plan(spark, sf_dir):
     from ..operators.multimodal import frame_sample_plan, synthesize_media
 
@@ -1125,5 +1162,6 @@ QUERIES = {
     "text_language_id": q_text_language_id,
     "media_feature_summary": q_media_feature_summary,
     "media_features_full": q_media_features_full,
+    "media_resize": q_media_resize,
     "media_frame_plan": q_media_frame_plan,
 }

@@ -63,3 +63,41 @@ def test_frame_sample_plan(spark, media):
     assert set(by_media) == set(metas)
     for mid, frames in by_media.items():
         assert frames == list(range(0, metas[mid], 10))
+
+
+def test_resize_media(spark):
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.multimodal import (
+        fake_resize,
+        resize_media,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    media = synthesize_media(docs)
+    resized = resize_media(media, width=16, height=8)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for mid, r in rows.items():
+        o = orig[mid]
+        if r["modality"] == "image":
+            assert len(r["payload"]) == 16 * 8
+            assert r["meta"]["width"] == 16 and r["meta"]["height"] == 8
+            assert bytes(r["payload"]) == fake_resize(bytes(o["payload"]), 16, 8)
+        else:
+            assert bytes(r["payload"]) == bytes(o["payload"])
+            assert r["meta"] == o["meta"]
+
+
+def test_fake_resize_deterministic_and_size_exact():
+    from gazetteer_entity_parser_spark.operators.multimodal import fake_resize
+
+    assert fake_resize(b"", 4, 4) == bytes(16)
+    out = fake_resize(b"hello world", 8, 1)
+    assert len(out) == 8
+    assert out == fake_resize(b"hello world", 8, 1)
