@@ -224,6 +224,30 @@ def q_kg_prepend_rank_rebase(spark, sf_dir):
     )
 
 
+def q_kg_dump_load_roundtrip(spark, sf_dir):
+    """Parser dump -> load -> gazetteer reconstruction through the driver
+    contract (reference: src/parser.rs dump/from_folder +
+    src/parser_registry.rs:259-290): the reloaded parser must reproduce the
+    alias gazetteer byte-for-byte, which the oracle rebuilds in SQL."""
+    import tempfile
+    import uuid as _uuid
+    from pathlib import Path
+
+    from ..kernel.builder import dump_parser, load_parser
+
+    bc = _parser_cache(spark, sf_dir, "alias")
+    folder = str(Path(tempfile.gettempdir()) / f"kg_dump_{_uuid.uuid4().hex[:8]}")
+    dump_parser(bc.value, folder)
+    reloaded = load_parser(folder)
+    rows = [
+        (" ".join(toks), resolved, rank)
+        for toks, resolved, _inj, rank in reloaded.registry.get_entity_values(True)
+    ]
+    return spark.createDataFrame(
+        rows, "raw_value string, resolved_value string, rank bigint"
+    )
+
+
 # ---- classic operator families over the TPC-H-ish tables (SURVEY.md §2.3)
 
 
@@ -421,6 +445,9 @@ ORACLES: dict[str, str] = {
     """,
     "kg_gazetteer_rank": f"WITH {_VOCAB_CTE[1:]} SELECT raw_value, resolved_value, rank FROM vocab",
     "kg_alias_gazetteer": f"WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]} "
+    "SELECT raw_value, resolved_value, rank FROM alias_gaz",
+    # dump -> load must reproduce the gazetteer exactly
+    "kg_dump_load_roundtrip": f"WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]} "
     "SELECT raw_value, resolved_value, rank FROM alias_gaz",
     "kg_token_doc_frequency": f"WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}, {_TOKDF_CTE[1:]} "
     "SELECT token, n_entities FROM tokdf",
@@ -1139,6 +1166,7 @@ QUERIES = {
     "kg_mentions_alias_kernel": q_kg_mentions_alias_kernel,
     "kg_injection_rebuild": q_kg_injection_rebuild,
     "kg_prepend_rank_rebase": q_kg_prepend_rank_rebase,
+    "kg_dump_load_roundtrip": q_kg_dump_load_roundtrip,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,
