@@ -42,13 +42,21 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
         ]
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+        # best-of-N per query: this VM shows intermittent hypervisor
+        # contention (identical runs measured 2-8x apart); min-wall damps a
+        # noisy window without hiding steady-state cost
+        best_of = int(os.environ.get("SPARK_GRAFT_BENCH_BESTOF", "2"))
         timings: dict[str, float] = {}
         counts: dict[str, int] = {}
         for name in names:
             fn = Q.QUERIES[name]
-            t0 = time.perf_counter()
-            counts[name] = fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(max(best_of, 1)):
+                t0 = time.perf_counter()
+                counts[name] = fn(spark, sf_dir).count()
+                wall = time.perf_counter() - t0
+                best = wall if best is None or wall < best else best
+            timings[name] = round(best, 3)
 
         mention_sec = timings.get("kg_mentions", 0.0)
         triple_sec = timings.get("kg_triples_canonical", 0.0)
@@ -76,9 +84,12 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             .select(F.concat("url", F.lit("#"), "r").alias("url"), "text")
         )
         bc = _parser_cache(spark, sf_dir, "alias")
-        t0 = time.perf_counter()
-        n_fused = canonical_triples_fused(amplified, bc, window_tokens=10).count()
-        fused_sec = time.perf_counter() - t0
+        fused_sec, n_fused = None, 0
+        for _ in range(max(best_of, 1)):
+            t0 = time.perf_counter()
+            n_fused = canonical_triples_fused(amplified, bc, window_tokens=10).count()
+            wall = time.perf_counter() - t0
+            fused_sec = wall if fused_sec is None or wall < fused_sec else fused_sec
         n_amplified = n_docs * replicas
 
         return {
