@@ -287,8 +287,12 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via the 4x16-bit pigeonhole:
     any pair differing in <=3 bits agrees on at least one 16-bit chunk, so the
-    chunk-equality join generates all true pairs (then exact popcount filters)."""
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunk-equality join generates all true pairs (then exact popcount filters).
+
+    Fingerprints are persist()ed: both self-join sides reference them, and
+    without the boundary each side re-runs the Arrow UDF and re-scans the
+    corpus (observed 2x UDF + 4x scan in the physical plan)."""
+    fps = simhash_fingerprints(docs, id_col, text_col).persist()
     chunks = fps.select(
         "id",
         "simhash",
@@ -340,5 +344,10 @@ def embedding_near_dup_keepers(
     from .similarity import cosine_similar_pairs
 
     pairs = cosine_similar_pairs(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
-    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return emb.join(dominated, id_col, "left_anti").select(id_col)
+    # dominated ids are few: broadcast the anti-join so (a) the corpus never
+    # shuffles on vec_id and (b) the O(n^2) pair scan materializes ONCE in
+    # the broadcast build instead of once per union branch of the input
+    # (Spark distributes a shuffled anti-join over union inputs; observed as
+    # a doubled BroadcastNestedLoopJoin subtree in the physical plan)
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
+    return emb.join(F.broadcast(dominated), id_col, "left_anti").select(id_col)
