@@ -113,22 +113,41 @@ def q_kg_alias_gazetteer(spark, sf_dir):
     return alias_gazetteer(_docs(spark, sf_dir), N_VOCAB)
 
 
+_FRAMES_CACHE: dict = {}
+
+
+def _alias_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Build-once-per-(application, sf) persisted index frames: three driver
+    queries derive from the same build, and the window-heavy dimension build
+    costs more than the queries themselves."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fr = _FRAMES_CACHE.get(key)
+    if fr is None:
+        fr = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+        for df in fr.values():
+            df.persist()
+        if len(_FRAMES_CACHE) >= 8:
+            _FRAMES_CACHE.clear()
+        _FRAMES_CACHE[key] = fr
+    return fr
+
+
 def q_kg_token_doc_frequency(spark, sf_dir):
-    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    frames = _alias_frames(spark, sf_dir)
     return frames["token_df"].select(
         "token", F.col("n_entities").cast("bigint").alias("n_entities")
     )
 
 
 def q_kg_stop_words_topn(spark, sf_dir):
-    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    frames = _alias_frames(spark, sf_dir)
     return stop_words_df(frames, N_STOP).select(
         "token", F.col("n_entities").cast("bigint").alias("n_entities")
     )
 
 
 def q_kg_edge_cases(spark, sf_dir):
-    frames = build_index_frames(alias_gazetteer(_docs(spark, sf_dir), N_VOCAB))
+    frames = _alias_frames(spark, sf_dir)
     sw = stop_words_df(frames, N_STOP)
     return edge_cases_df(frames, sw).select(
         "resolved_value", F.col("rank").cast("bigint").alias("rank")
