@@ -214,18 +214,18 @@ def extract_triple_partials(
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parser: Parser = parser_broadcast.value
-        run = parser.run
+        run_light = parser.run_light
         for pdf in batches:
             acc: dict[tuple[str, str], list] = {}
             for text in pdf["text"].values:
                 if not text:
                     continue
                 for _si, _off, _bt, window, toks in iter_windows(text, window_tokens):
-                    parsed = run(window, 0, tokens=toks)
-                    if len(parsed) < 2:
+                    # aggregation needs only (resolved, rank) in token order —
+                    # run_light skips ParsedValue materialization entirely
+                    ms = run_light(window, tokens=toks)
+                    if len(ms) < 2:
                         continue
-                    # kernel output is sorted by char range == token order
-                    ms = [(pv.resolved_value.resolved, pv.rank) for pv in parsed]
                     for i in range(len(ms) - 1):
                         s_res, s_rank = ms[i]
                         for j in range(i + 1, len(ms)):

@@ -162,3 +162,35 @@ def test_le2_repeated_token_entity_alternation():
     parser = ParserBuilder().set_gazetteer(gaz).minimum_tokens_ratio(0.6).build()
     for text in ("x a a a", "a a a a a", "x a a", "a a x a a"):
         assert parser.run(text, 0) == general_path(parser, text, 0), text
+
+
+def test_run_light_matches_run_all_paths():
+    """run_light must equal the (resolved, rank) projection of run() on the
+    single-token, LE2, and general dispatch paths."""
+    rng = random.Random(99)
+
+    def check(parser, words, trials=40):
+        for _ in range(trials):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(0, 14)))
+            want = [(pv.resolved_value.resolved, pv.rank) for pv in parser.run(text, 0)]
+            assert parser.run_light(text) == want, (text, parser.threshold)
+
+    words = ["a", "b", "c", "d", "zz"]
+    # single-token path
+    p1 = ParserBuilder().set_gazetteer(
+        [("a", "A"), ("b", "B"), ("a", "A2")]
+    ).minimum_tokens_ratio(1.0).build()
+    assert p1._single_token_lookup() is not None
+    check(p1, words)
+    # LE2 path
+    p2 = ParserBuilder().set_gazetteer(
+        [("a b", "AB"), ("b", "B"), ("c c", "CC"), ("d", "D")]
+    ).minimum_tokens_ratio(0.6).n_stop_words(1).build()
+    assert p2._single_token_lookup() is None and p2._le2_lookup() is not None
+    check(p2, words)
+    # general path (3-token entry)
+    p3 = ParserBuilder().set_gazetteer(
+        [("a b c", "ABC"), ("b", "B")]
+    ).minimum_tokens_ratio(0.5).build()
+    assert p3._le2_lookup() is None
+    check(p3, words)
