@@ -5,10 +5,12 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-The engine lives in ``gazetteer_entity_parser_spark/`` (see SURVEY.md §2 for
-the operator inventory each query covers). Queries with no oracle entry are
-non-SQL-expressible kernel semantics (multi-token partial matching,
-injection); they are pinned against the pure-Python kernel in tests/.
+The engine lives in ``gazetteer_entity_parser_spark/`` (see SURVEY.md §2 and
+COVERAGE.md for the operator inventory each query covers). All queries are
+oracle-backed except two that are genuinely not SQL-expressible —
+``sim_ann_lsh_topk`` (approximate by design; recall vs the exact oracle
+pinned in tests) and ``dedup_simhash`` (byte-level FNV-1a fingerprints;
+pigeonhole + recall pinned in tests).
 """
 
 from __future__ import annotations
