@@ -194,3 +194,14 @@ def test_run_light_matches_run_all_paths():
     ).minimum_tokens_ratio(0.5).build()
     assert p3._le2_lookup() is None
     check(p3, words)
+
+
+def test_le2_gate_rederives_on_set_threshold():
+    parser = ParserBuilder().set_gazetteer([("a b", "AB"), ("c", "C")]).minimum_tokens_ratio(0.8).build()
+    assert parser._le2_lookup() is not None
+    parser.set_threshold(0.4)  # 1-of-2 partials now survive: LE2 must refuse
+    assert parser._le2_lookup() is None
+    assert parser.run("a c b", 0) == general_path(parser, "a c b", 0)
+    parser.set_threshold(0.9)
+    assert parser._le2_lookup() is not None
+    assert parser.run("a b c", 1) == general_path(parser, "a b c", 1)

@@ -140,3 +140,34 @@ def test_overlap_contract_explicit():
                 assert begin >= prev_end, (text, threshold, out)
                 assert end > begin
                 prev_end = end
+
+
+le2_gazetteers = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=2).map(" ".join),
+        st.sampled_from(["E1", "E2", "E3", "E4"]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    le2_gazetteers,
+    inputs,
+    st.sampled_from([0.6, 2.0 / 3.0, 0.8, 1.0]),
+    n_stops,
+    st.sampled_from([0, 2, 5]),
+)
+def test_le2_equals_general_property(gaz, text, threshold, n_stop_words, max_alt):
+    """Hypothesis twin of the randomized LE2 equivalence loop: shrinking
+    gives a minimal counterexample if a future change breaks the closed-form
+    derivation in _le2_lookup."""
+    parser = build(gaz, threshold, n_stop_words)
+    assert parser._le2_lookup() is not None or parser._single_token_lookup() is not None
+    toks = tokenize(text)
+    heap = parser._find_possible_matches(toks, parser.threshold, max_alt)
+    want = parser._parse_input(text, toks, heap)
+    assert parser.run(text, max_alt) == want
+    assert parser.run_light(text) == [(pv.resolved_value.resolved, pv.rank) for pv in want]
