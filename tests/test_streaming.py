@@ -123,3 +123,49 @@ def test_merge_commit_token_idempotent(spark, tmp_path):
     assert row["weight"] == 6
     assert merge_into_parquet(spark, target, batch, commit_token="1") is False
     assert spark.read.parquet(target).collect()[0]["weight"] == 6
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, pages, parser_bc, tmp_path):
+    """north_rule: resumable from checkpoint. Stop the stream after the first
+    tranche of files, add more, restart with the SAME checkpoint — already-
+    committed batches must not be re-merged (no double counts) and the final
+    totals must equal the batch pipeline over all pages."""
+    first = pages.limit(30).cache()
+    rest = pages.subtract(first)
+
+    input_dir = str(tmp_path / "pages_in")
+    triples_path = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.repartition(2).write.mode("append").parquet(input_dir)
+    q1 = start_triples_stream(
+        spark, read_webpage_stream(spark, input_dir, max_files=1),
+        parser_bc, triples_path, ckpt,
+    )
+    q1.awaitTermination(120)
+    after_first = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in spark.read.parquet(triples_path).collect()
+    }
+
+    # new files arrive while the stream is down; restart from the checkpoint
+    rest.repartition(2).write.mode("append").parquet(input_dir)
+    q2 = start_triples_stream(
+        spark, read_webpage_stream(spark, input_dir, max_files=1),
+        parser_bc, triples_path, ckpt,
+    )
+    q2.awaitTermination(120)
+
+    streamed = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in spark.read.parquet(triples_path).collect()
+    }
+    batch = {
+        (r["subj"], r["obj"]): r["weight"]
+        for r in canonicalize_triples(
+            cooccurrence_triples(extract_mentions(pages, parser_bc, window_tokens=10))
+        ).collect()
+    }
+    assert streamed == batch
+    # the restart added the new pages' weight on top of the first tranche
+    assert sum(streamed.values()) > sum(after_first.values())
