@@ -220,25 +220,43 @@ def extract_triple_partials(
             for text in pdf["text"].values:
                 if not text:
                     continue
-                for _si, _off, _bt, window, toks in iter_windows(text, window_tokens):
-                    # aggregation needs only (resolved, rank) in token order —
-                    # run_light skips ParsedValue materialization entirely
-                    ms = run_light(window, tokens=toks)
-                    if len(ms) < 2:
+                # aggregation needs only (resolved, rank) per window, so this
+                # loop skips iter_windows' chunk-text slicing and offset
+                # rebasing: run_light never reads offsets, and the general-
+                # path fallback inside it is handed sentence-relative spans
+                # with the full sentence text, which is equally valid (char
+                # offsets only shape matched_value/ranges, both discarded
+                # here). Canonical equality with the unfused path is pinned
+                # in tests/test_triples_grouped.py.
+                for _off, sent in split_sentences(text):
+                    toks = tokenize(sent)
+                    n_toks = len(toks)
+                    if n_toks < 2:
                         continue
-                    for i in range(len(ms) - 1):
-                        s_res, s_rank = ms[i]
-                        for j in range(i + 1, len(ms)):
-                            o_res, o_rank = ms[j]
-                            hit = acc.get((s_res, o_res))
-                            if hit is None:
-                                acc[(s_res, o_res)] = [1, s_rank, o_rank]
-                            else:
-                                hit[0] += 1
-                                if s_rank < hit[1]:
-                                    hit[1] = s_rank
-                                if o_rank < hit[2]:
-                                    hit[2] = o_rank
+                    if window_tokens is None or n_toks <= window_tokens:
+                        chunks = (toks,)
+                    else:
+                        chunks = (
+                            toks[i : i + window_tokens]
+                            for i in range(0, n_toks, window_tokens)
+                        )
+                    for chunk in chunks:
+                        ms = run_light(sent, tokens=chunk)
+                        if len(ms) < 2:
+                            continue
+                        for i in range(len(ms) - 1):
+                            s_res, s_rank = ms[i]
+                            for j in range(i + 1, len(ms)):
+                                o_res, o_rank = ms[j]
+                                hit = acc.get((s_res, o_res))
+                                if hit is None:
+                                    acc[(s_res, o_res)] = [1, s_rank, o_rank]
+                                else:
+                                    hit[0] += 1
+                                    if s_rank < hit[1]:
+                                        hit[1] = s_rank
+                                    if o_rank < hit[2]:
+                                        hit[2] = o_rank
             if acc:
                 yield pd.DataFrame(
                     {
