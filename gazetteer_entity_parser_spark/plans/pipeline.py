@@ -71,7 +71,11 @@ def run_pipeline(
     """Full run. ``docs`` must have the input_hint shape (url, warc_ts, html,
     text, lang) — use sources.webpages for the sandbox corpus. Returns paths
     + DataFrames of each stage output."""
+    import time
+
     cfg = cfg or PipelineConfig()
+    stage_seconds: dict[str, float] = {}
+    t0 = time.perf_counter()
 
     # ---- Stage A: build + broadcast (gazetteer derived from the corpus here;
     # production passes its own gazetteer DataFrame)
@@ -85,6 +89,8 @@ def run_pipeline(
         gaz, cfg.threshold, cfg.n_stop_words, cfg.additional_stop_words
     )
     bc = broadcast_parser(spark, parser)
+    stage_seconds["A_build_broadcast"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # ---- Stage B: match + checkpoint
     mentions_path = os.path.join(workdir, "mentions")
@@ -97,6 +103,8 @@ def run_pipeline(
     ).withColumn("bucket", _bucket("url", cfg.n_buckets))
     mentions.write.mode("overwrite").partitionBy("bucket").parquet(mentions_path)
     mentions_ck = spark.read.parquet(mentions_path)
+    stage_seconds["B_extract_checkpoint"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     lineage_path = os.path.join(workdir, "lineage")
 
@@ -109,11 +117,14 @@ def run_pipeline(
     lineage_for(mentions_ck, "mentions").unionByName(triples_lineage).write.mode(
         "overwrite"
     ).parquet(lineage_path)
+    stage_seconds["C_triples_lineage"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # ---- Stage D: canonicalize + merge
     canonical = canonicalize_triples(raw_triples)
     target = triples_target or os.path.join(workdir, "triples")
     sink_kind = merge_into(spark, target, canonical, prefer_iceberg=False)
+    stage_seconds["D_canonicalize_merge"] = round(time.perf_counter() - t0, 3)
 
     return {
         "parser": parser,
@@ -125,6 +136,9 @@ def run_pipeline(
         "triples_path": target,
         "triples": spark.read.parquet(target) if sink_kind == "parquet" else None,
         "sink": sink_kind,
+        # ops metrics: wall per stage (per-bucket row/checksum metrics are in
+        # the lineage table)
+        "stage_seconds": stage_seconds,
     }
 
 

@@ -84,6 +84,7 @@ def main() -> None:
         "n_triples": (
             result["triples"].count() if result["triples"] is not None else None
         ),
+        "stage_seconds": result["stage_seconds"],
     }
     print(json.dumps(summary))
 
