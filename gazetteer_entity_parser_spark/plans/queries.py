@@ -187,6 +187,33 @@ def q_kg_triples_canonical(spark, sf_dir):
     )
 
 
+def q_kg_entity_degree(spark, sf_dir):
+    """Graph materialization probe (north_rule Stage D+): per-canonical-entity
+    degree view over the triples table — out/in/total co-occurrence degree
+    and total edge weight. The KG is materialized as an adjacency that
+    downstream graph consumers read directly."""
+    triples = canonicalize_triples(
+        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
+    )
+    out_deg = triples.groupBy(F.col("subj").alias("entity")).agg(
+        F.count("*").alias("out_degree"), F.sum("weight").alias("out_weight")
+    )
+    in_deg = triples.groupBy(F.col("obj").alias("entity")).agg(
+        F.count("*").alias("in_degree"), F.sum("weight").alias("in_weight")
+    )
+    return (
+        out_deg.join(in_deg, "entity", "full_outer")
+        .na.fill(0)
+        .select(
+            "entity",
+            F.col("out_degree").cast("bigint").alias("out_degree"),
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            (F.col("out_degree") + F.col("in_degree")).cast("bigint").alias("degree"),
+            (F.col("out_weight") + F.col("in_weight")).cast("bigint").alias("total_weight"),
+        )
+    )
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -602,6 +629,34 @@ ORACLES: dict[str, str] = {
                'INJECTED_ENTITY' AS resolved
         FROM toks WHERE token = 'the'
     """,
+    # graph materialize: degree/weight adjacency view over canonical triples
+    "kg_entity_degree": f"""
+        WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]}, {_MENTIONS_CTE[1:]},
+        trip AS (
+            SELECT m1.resolved AS subj, m2.resolved AS obj,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM mentions m1 JOIN mentions m2
+              ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx
+             AND m1.tok_idx < m2.tok_idx
+            GROUP BY 1, 2
+        ),
+        od AS (
+            SELECT subj AS entity, CAST(count(*) AS BIGINT) AS out_degree,
+                   CAST(sum(weight) AS BIGINT) AS out_weight
+            FROM trip GROUP BY subj
+        ),
+        idg AS (
+            SELECT obj AS entity, CAST(count(*) AS BIGINT) AS in_degree,
+                   CAST(sum(weight) AS BIGINT) AS in_weight
+            FROM trip GROUP BY obj
+        )
+        SELECT COALESCE(od.entity, idg.entity) AS entity,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0) AS in_degree,
+               COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree,
+               COALESCE(out_weight, 0) + COALESCE(in_weight, 0) AS total_weight
+        FROM od FULL OUTER JOIN idg ON od.entity = idg.entity
+    """,
     "agg_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -970,6 +1025,24 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# composed corpus-cleaning oracle: the component oracles' SQL verbatim, with
+# the dedup-kept corpus substituted for the raw documents table
+ORACLES["pipeline_clean_corpus"] = f"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    kept AS (SELECT min(doc_id) AS doc_id, text FROM all_docs GROUP BY text),
+    lang AS ({ORACLES["text_language_id"].replace("documents", "kept")}),
+    qual AS ({ORACLES["text_quality_scores"].replace("documents", "kept")})
+    SELECT k.doc_id, q.quality_score
+    FROM kept k
+    JOIN lang l ON l.doc_id = k.doc_id
+    JOIN qual q ON q.doc_id = k.doc_id
+    WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
+"""
+
 
 # ---- training-data operators: dedup / similarity / text analysis / media
 
@@ -1053,6 +1126,27 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
     return embedding_near_dup_keepers(
         _emb_with_near_dups(spark, sf_dir), threshold=0.95
+    )
+
+
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """Composed training-data cleaning pipeline over the dup-injected corpus:
+    exact dedup (keep the min-id copy) -> language filter (en) -> quality
+    floor. Each stage is an already-oracle-checked operator; this pins their
+    composition (the everyday shape of a corpus-prep job)."""
+    from ..operators.dedup import dedup_exact
+    from ..operators.text_analysis import language_id, quality_scores
+
+    kept = dedup_exact(_docs_with_exact_dups(spark, sf_dir))
+    lang = language_id(kept)
+    qual = quality_scores(kept).select("doc_id", "quality_score")
+    return (
+        kept.select("doc_id")
+        .join(lang, "doc_id")
+        .where(F.col("predicted_lang") == "en")
+        .join(qual, "doc_id")
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id", "quality_score")
     )
 
 
@@ -1182,6 +1276,7 @@ QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_triples_raw": q_kg_triples_raw,
     "kg_triples_canonical": q_kg_triples_canonical,
+    "kg_entity_degree": q_kg_entity_degree,
     "kg_mentions_alias_kernel": q_kg_mentions_alias_kernel,
     "kg_injection_rebuild": q_kg_injection_rebuild,
     "kg_prepend_rank_rebase": q_kg_prepend_rank_rebase,
@@ -1194,6 +1289,7 @@ QUERIES = {
     "agg_rollup": q_agg_rollup,
     "set_ops": q_set_ops,
     "dedup_exact_groups": q_dedup_exact_groups,
+    "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
