@@ -76,6 +76,11 @@ def _parser_cache(spark: SparkSession, sf_dir: str, which: str):
         )
     bc = spark.sparkContext.broadcast(parser)
     if len(_PARSER_CACHE) >= 8:
+        for old in _PARSER_CACHE.values():
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session may already be stopped
         _PARSER_CACHE.clear()
     _PARSER_CACHE[key] = bc
     return bc
@@ -127,6 +132,12 @@ def _alias_frames(spark: SparkSession, sf_dir: str) -> dict:
         for df in fr.values():
             df.persist()
         if len(_FRAMES_CACHE) >= 8:
+            for old in _FRAMES_CACHE.values():
+                for df in old.values():
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # session may already be stopped
             _FRAMES_CACHE.clear()
         _FRAMES_CACHE[key] = fr
     return fr
