@@ -101,8 +101,11 @@ def run_level(cpus: int) -> dict:
         ckpt = tempfile.mkdtemp(prefix=f"kg_bench_mentions_{cpus}_")
 
         def do_extract():
-            extract_mentions(amplified, bc, window_tokens=10).select(
-                "url", "sent_idx", "tok_idx", "resolved", "rank"
+            # project INSIDE the UDF: Catalyst can't push pruning through
+            # mapInPandas, and the checkpoint needs only these five columns
+            extract_mentions(
+                amplified, bc, window_tokens=10,
+                columns=["url", "sent_idx", "tok_idx", "resolved", "rank"],
             ).write.mode("overwrite").parquet(ckpt)
 
         t_extract, _ = best_of(2, do_extract)

@@ -115,25 +115,65 @@ def extract_mentions(
     max_alternatives: int = 0,
     window_tokens: int | None = 10,
     num_partitions: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """docs(key, text, ...) -> mentions DataFrame (MENTIONS_SCHEMA).
 
     ``num_partitions`` triggers the salted repartition for skewed corpora;
     leave None to inherit upstream partitioning (e.g. when the scan already
     produced well-sized splits).
+
+    ``columns`` projects the OUTPUT inside the UDF: Catalyst cannot push
+    column pruning through a mapInPandas boundary, so a narrow consumer (the
+    triples path needs only url/sent_idx/tok_idx/resolved/rank) would
+    otherwise pay Python string slicing, alternatives materialization, and
+    Arrow transfer for columns it immediately drops. Equality with
+    full-output + .select() is pinned in tests/test_extract_spark.py.
     """
     pruned = docs.select(F.col(key_col).alias("url"), F.col(text_col).alias("text"))
     if num_partitions:
         pruned = pruned.repartition(
             num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions))
         )
+    all_fields = [f.name for f in MENTIONS_SCHEMA.fields]
+    if columns is None:
+        cols = all_fields
+        schema = MENTIONS_SCHEMA
+    else:
+        unknown = set(columns) - set(all_fields)
+        if unknown:
+            raise ValueError(f"unknown mention columns: {sorted(unknown)}")
+        cols = [c for c in all_fields if c in set(columns)]
+        schema = T.StructType([MENTIONS_SCHEMA[c] for c in cols])
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parser: Parser = parser_broadcast.value
         run = parser.run
-        cols = [f.name for f in MENTIONS_SCHEMA.fields]
+        full = columns is None
+        if not full:
+            # per-mention value producers, evaluated only for the projection
+            # (the full path below stays a hand-inlined loop — the dispatch
+            # indirection measured an 11% tax there)
+            makers = {
+                "url": lambda ctx, pv: ctx[0],
+                "sent_idx": lambda ctx, pv: ctx[1],
+                "tok_idx": lambda ctx, pv: ctx[3] + pv.tok_range[0],
+                "begin": lambda ctx, pv: ctx[2] + pv.range[0],
+                "end": lambda ctx, pv: ctx[2] + pv.range[1],
+                "matched_value": lambda ctx, pv: pv.matched_value,
+                "resolved": lambda ctx, pv: pv.resolved_value.resolved,
+                "raw_value": lambda ctx, pv: pv.resolved_value.raw_value,
+                "entity_id": lambda ctx, pv: pv.entity,
+                "rank": lambda ctx, pv: pv.rank,
+                "alternatives": lambda ctx, pv: [
+                    {"resolved": a.resolved, "raw_value": a.raw_value}
+                    for a in pv.alternatives
+                ],
+            }
         for pdf in batches:
             out = {c: [] for c in cols}
+            if not full:
+                appenders = [(out[c], makers[c]) for c in cols]
             for url, text in zip(pdf["url"].values, pdf["text"].values):
                 if not text:
                     continue
@@ -145,28 +185,34 @@ def extract_mentions(
                     parsed = run(window, max_alternatives, tokens=toks)
                     if not parsed:
                         continue
-                    for pv in parsed:
-                        begin, end = pv.range
-                        out["url"].append(url)
-                        out["sent_idx"].append(sent_idx)
-                        out["tok_idx"].append(base_tok + pv.tok_range[0])
-                        out["begin"].append(char_off + begin)
-                        out["end"].append(char_off + end)
-                        out["matched_value"].append(pv.matched_value)
-                        out["resolved"].append(pv.resolved_value.resolved)
-                        out["raw_value"].append(pv.resolved_value.raw_value)
-                        out["entity_id"].append(pv.entity)
-                        out["rank"].append(pv.rank)
-                        out["alternatives"].append(
-                            [
-                                {"resolved": a.resolved, "raw_value": a.raw_value}
-                                for a in pv.alternatives
-                            ]
-                        )
-            if out["url"]:  # empty frames would carry float64 columns into Arrow
+                    if full:
+                        for pv in parsed:
+                            begin, end = pv.range
+                            out["url"].append(url)
+                            out["sent_idx"].append(sent_idx)
+                            out["tok_idx"].append(base_tok + pv.tok_range[0])
+                            out["begin"].append(char_off + begin)
+                            out["end"].append(char_off + end)
+                            out["matched_value"].append(pv.matched_value)
+                            out["resolved"].append(pv.resolved_value.resolved)
+                            out["raw_value"].append(pv.resolved_value.raw_value)
+                            out["entity_id"].append(pv.entity)
+                            out["rank"].append(pv.rank)
+                            out["alternatives"].append(
+                                [
+                                    {"resolved": a.resolved, "raw_value": a.raw_value}
+                                    for a in pv.alternatives
+                                ]
+                            )
+                    else:
+                        ctx = (url, sent_idx, char_off, base_tok)
+                        for pv in parsed:
+                            for lst, mk in appenders:
+                                lst.append(mk(ctx, pv))
+            if out[cols[0]]:  # empty frames would carry float64 columns into Arrow
                 yield pd.DataFrame(out, columns=cols)
 
-    return pruned.mapInPandas(run_batches, MENTIONS_SCHEMA)
+    return pruned.mapInPandas(run_batches, schema)
 
 
 TRIPLE_PARTIALS_SCHEMA = T.StructType(

@@ -120,3 +120,33 @@ def test_iter_windows_token_ordinals():
         (2, 6, ["g."]),
         (3, 7, ["h", "i", "j"]),
     ]
+
+
+def test_extract_mentions_column_projection(spark):
+    """columns= must equal full output + .select() (Catalyst cannot prune
+    through the mapInPandas boundary, so the projection happens in the UDF)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.plans.pipeline import docs_from_sf_dir
+    from gazetteer_entity_parser_spark.sources.builder_job import (
+        broadcast_parser,
+        build_parser_distributed,
+    )
+    from gazetteer_entity_parser_spark.sources.gazetteer import alias_gazetteer
+
+    docs = docs_from_sf_dir(spark, "/root/testdata/sf0.001").limit(40)
+    gaz = alias_gazetteer(docs.select("text"), 20)
+    bc = broadcast_parser(
+        spark, build_parser_distributed(gaz, 0.6, 2, ["hello"])
+    )
+    narrow_cols = ["url", "sent_idx", "tok_idx", "resolved", "rank"]
+    full = (
+        extract_mentions(docs, bc, window_tokens=10)
+        .select(*narrow_cols)
+        .collect()
+    )
+    narrow = extract_mentions(docs, bc, window_tokens=10, columns=narrow_cols).collect()
+    assert sorted(map(tuple, narrow)) == sorted(map(tuple, full))
+    with pytest.raises(ValueError, match="unknown mention columns"):
+        extract_mentions(docs, bc, columns=["nope"]).collect()
