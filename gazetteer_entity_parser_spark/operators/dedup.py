@@ -113,9 +113,22 @@ def minhash_lsh_candidates(
     k: int = 64,
     bands: int = 16,
     shingled: DataFrame | None = None,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded minhash buckets.
-    rows = bands * n_docs exploded; the self-join shuffles on (band, hash)."""
+    rows = bands * n_docs exploded; the self-join shuffles on (band, hash).
+
+    ``max_bucket_size`` is the hot-bucket skew guard: a boilerplate page
+    shared by 10^6 docs would otherwise put all of them in one bucket and
+    emit 10^12 pairs from the self-join. Buckets over the cap switch from
+    all-pairs to CHAIN pairing (consecutive ids after an in-bucket sort) —
+    O(bucket) pairs that keep every true dup cluster CONNECTED (min-id /
+    connected-component dedup sees the same components), trading only
+    non-adjacent pair edges, which downstream exact-Jaccard verification
+    would dedupe anyway. Bounded candidate counts are pinned in
+    tests/test_skew.py."""
+    from pyspark.sql import Window
+
     rows_per_band = k // bands
     if shingled is None:
         shingled = shingled_docs(docs, id_col, text_col, n_shingle)
@@ -139,14 +152,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bh"),
     ).select("id", "bh.band", "bh.bucket")
-    left = banded.withColumnRenamed("id", "id_a")
-    right = banded.withColumnRenamed("id", "id_b")
-    return (
-        left.join(right, ["band", "bucket"])
+    # bucket sizes aggregate on the same (band, bucket) key the join shuffles
+    # on, so the extra agg is co-partitioned, not a second full shuffle
+    sized = banded.join(
+        banded.groupBy("band", "bucket").agg(F.count("*").alias("_bsz")),
+        ["band", "bucket"],
+    ).persist()
+    small = sized.where(F.col("_bsz") <= max_bucket_size)
+    pairs_small = (
+        small.withColumnRenamed("id", "id_a")
+        .join(
+            small.select("band", "bucket", F.col("id").alias("id_b")),
+            ["band", "bucket"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    pairs_big = (
+        sized.where(F.col("_bsz") > max_bucket_size)
+        .withColumn("_prev", F.lag("id").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def minhash_lsh_dedup_pairs(
@@ -185,15 +214,35 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n_shingle: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over token n-gram sets via inverted-index pair counts —
     no cross join: explode shingles, self-join postings on shingle, count
     shared per pair (map-side combinable), divide by union size. This is
-    the fully-relational formulation (and the DuckDB oracle shape)."""
+    the fully-relational formulation (and the DuckDB oracle shape).
+
+    ``max_shingle_df`` is the hot-shingle skew guard: one boilerplate shingle
+    shared by 10^6 docs would emit ~10^12 postings pairs from the self-join.
+    When set, shingles with document frequency above the cutoff are dropped
+    from the shingle UNIVERSE (postings and set sizes both), i.e. Jaccard is
+    computed over non-boilerplate shingles only — the standard CCNet-style
+    cut; such shingles carry negligible discriminative mass. The hot set is
+    small by construction, so it is removed with a broadcast anti-join.
+    Default None preserves exact full-universe semantics (the oracle shape);
+    route corpora with unbounded boilerplate to the minhash path or set a
+    cutoff. Bounded pair counts are pinned in tests/test_skew.py."""
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.explode(token_shingles(F.col(text_col), n_shingle)).alias("sh"),
     ).distinct()
+    if max_shingle_df is not None:
+        hot = (
+            shingled.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("sh")
+        )
+        shingled = shingled.join(F.broadcast(hot), "sh", "left_anti")
     sizes = shingled.groupBy("id").agg(F.count("*").alias("n"))
     a = shingled.withColumnRenamed("id", "id_a")
     b = shingled.withColumnRenamed("id", "id_b")
@@ -263,8 +312,10 @@ def simhash_fingerprints(
         )
         uh = _fnv1a_64_batch([u.encode("utf-8") for u in uniques])
         # signs_u[u, j] = +1/-1 for bit j of unique token u's hash
-        # (little-endian byte/bit order lines columns up with bits 0..63)
-        bits_u = np.unpackbits(uh.view(np.uint8), bitorder="little").reshape(-1, 64)
+        # (byte order forced to little-endian so columns line up with bits
+        # 0..63 on any host — a native .view would silently byteswap
+        # fingerprints on a big-endian platform)
+        bits_u = np.unpackbits(uh.astype("<u8").view(np.uint8), bitorder="little").reshape(-1, 64)
         signs_u = 2 * bits_u.astype(np.int32) - 1
         # per-doc vote fold: gather the sign rows for the doc's token codes
         # and segment-sum (no per-byte or per-bit Python anywhere)
@@ -273,7 +324,7 @@ def simhash_fingerprints(
             c = counts[i]
             votes = signs_u[codes[offset : offset + c]].sum(axis=0, dtype=np.int64)
             offset += c
-            out[i] = np.packbits(votes > 0, bitorder="little").view(np.int64)[0]
+            out[i] = np.packbits(votes > 0, bitorder="little").view("<i8")[0]
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
@@ -335,15 +386,35 @@ def embedding_near_dup_keepers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Single-pass min-id embedding dedup: drop any vector that has a
     more-senior (lower-id) neighbor with cosine >= threshold; return the
-    kept ids. The pair scan reuses :func:`..similarity.cosine_similar_pairs`
-    — at scale swap in its LSH-bucketed candidate generation; the rule itself
-    (anti-join on the dominated side) is shape-identical either way."""
-    from .similarity import cosine_similar_pairs
+    kept ids.
 
-    pairs = cosine_similar_pairs(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
+    ``method='lsh'`` (the DEFAULT and the scale path) generates candidate
+    pairs from hyperplane L-table buckets and verifies them with exact cosine
+    (:func:`..similarity.cosine_similar_pairs_lsh`): the shuffle key is the
+    (table, bucket) id, so the corpus never cross-joins — this is the plan
+    that survives 100x the vectors. Per-pair recall at the defaults is 0.988
+    at the threshold boundary and ->1.0 as cosine ->1 (true near-dups agree
+    on every plane sign); measured recall is pinned in tests/test_dedup.py.
+    ``method='brute'`` keeps the O(n^2) cross-join pair scan — exact, used as
+    the recall oracle and for tiny inputs."""
+    from .similarity import cosine_similar_pairs, cosine_similar_pairs_lsh
+
+    if method == "lsh":
+        pairs = cosine_similar_pairs_lsh(
+            emb, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_planes=n_planes, n_tables=n_tables, dim=dim,
+        )
+    elif method == "brute":
+        pairs = cosine_similar_pairs(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)
+    else:
+        raise ValueError(f"method must be 'lsh' or 'brute', got {method!r}")
     # dominated ids are few: broadcast the anti-join so (a) the corpus never
     # shuffles on vec_id and (b) the O(n^2) pair scan materializes ONCE in
     # the broadcast build instead of once per union branch of the input

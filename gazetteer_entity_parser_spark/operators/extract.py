@@ -140,6 +140,13 @@ def extract_mentions(
         cols = all_fields
         schema = MENTIONS_SCHEMA
     else:
+        if not columns:
+            # fail at the driver: an empty projection would otherwise surface
+            # as an IndexError inside the executor UDF on the first batch
+            raise ValueError(
+                "columns must be None or a non-empty subset of MENTIONS_SCHEMA "
+                f"fields {all_fields}"
+            )
         unknown = set(columns) - set(all_fields)
         if unknown:
             raise ValueError(f"unknown mention columns: {sorted(unknown)}")

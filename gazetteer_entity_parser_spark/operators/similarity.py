@@ -118,12 +118,87 @@ def hyperplane_signs(vec_col, n_planes: int = 8, dim: int = 64, table: int = 0):
             *[F.lit(_plane_component(table * 1000 + p, i)) for i in range(dim)]
         )
         dot = F.aggregate(
-            F.zip_with(vec_col, comps, lambda x, h: x.cast("double") * h),
+            # coalesce: a vector shorter than ``dim`` zip-pads with nulls,
+            # which would otherwise null the whole dot product and silently
+            # collapse every vector into one bucket (prefix-LSH degradation
+            # is the sane failure mode for a dim mismatch)
+            F.zip_with(vec_col, comps, lambda x, h: F.coalesce(x.cast("double"), F.lit(0.0)) * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def _lsh_tables_frame(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+):
+    """(vectors, buckets): ``vectors`` = (id, v, nrm, b0..b{T-1}) persisted —
+    both consumers (candidate join sides, exact-verify sides) reference it and
+    without the boundary CollapseProject re-inlines the plane dot products
+    into every branch; ``buckets`` = (id, t, bucket) exploded per table."""
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        *[
+            hyperplane_signs(F.col(vec_col), n_planes, dim, table=t).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    ).withColumn("nrm", _norm(F.col("v"))).persist()
+    buckets = v.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.t", "tb.bucket")
+    return v, buckets
+
+
+def cosine_similar_pairs_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Scale path for :func:`cosine_similar_pairs`: candidate pairs from
+    hyperplane L-tables (same-bucket in ANY table), then EXACT cosine verify.
+    Precision is exact (every emitted pair passed the real cosine test);
+    recall per pair is 1 - (1 - (1 - acos(c)/pi)^n_planes)^n_tables — at the
+    defaults, 0.988 at the c=0.95 boundary and ->1.0 as c->1 (true near-dups
+    agree on every plane sign). Measured recall is pinned in
+    tests/test_similarity.py. The shuffle key is the (table, bucket) id —
+    the corpus never cross-joins."""
+    v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
+    cand = (
+        buckets.withColumnRenamed("id", "id_a")
+        .join(buckets.withColumnRenamed("id", "id_b"), ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 def lsh_bucketed_topk(
@@ -138,27 +213,9 @@ def lsh_bucketed_topk(
     """Approximate top-k per vector: candidates = same-bucket pairs in ANY of
     ``n_tables`` independent hyperplane tables (L-tables LSH), then exact
     cosine + window over the deduped candidate set. Recall measured against
-    :func:`cosine_topk` in tests."""
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        *[
-            hyperplane_signs(F.col(vec_col), n_planes, dim, table=t).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    ).withColumn("nrm", _norm(F.col("v"))).persist()
-
-    buckets = v.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.t", "tb.bucket")
+    :func:`cosine_topk` and pinned in tests/test_similarity.py (the driver's
+    rows-only check is backed by that pinned number)."""
+    v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
     cand = (
         buckets.withColumnRenamed("id", "query_id")
         .join(buckets.withColumnRenamed("id", "nbr_id"), ["t", "bucket"])
@@ -255,46 +312,21 @@ def ann_topk_matmul(
     return emb.select(id_col, vec_col).mapInPandas(score, schema)
 
 
-def ivf_topk(
-    spark,
-    emb: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 8,
-    n_probe: int = 2,
-    max_centroid_rows: int = 65536,
-) -> DataFrame:
-    """IVF (inverted-file) ANN — the centroid-bucketed counterpart of
-    :func:`lsh_bucketed_topk`:
+# above this cell count, literal-array cell assignment is replaced by a
+# broadcast centroid matrix + mapInPandas matmul: n_cells * dim literals per
+# row blow up the expression tree / codegen (a 2^12-cell index would inline
+# 262k literals and score cells at O(n_cells * dim) interpreted cost per row)
+IVF_LITERAL_MAX_CELLS = 32
 
-    1. centroids: deterministic seeds (the ``n_cells`` lowest-id vectors),
-       collected driver-side (bounded by ``max_centroid_rows``) and inlined
-       as literal arrays so cell assignment stays in whole-stage codegen —
-       a k-means refinement sweep would reuse the same plan shape;
-    2. every vector is assigned to its nearest centroid cell (one column of
-       unrolled dot products, argmax via struct max);
-    3. each query probes its ``n_probe`` nearest cells; candidates come from
-       a cell-key equi-join (shuffle on the cell id, never a cross join);
-    4. exact cosine + per-query top-k window over the probed candidates.
 
-    With ``n_probe == n_cells`` every cell is probed and the result is EXACT
-    brute-force top-k (pinned against :func:`cosine_topk` in tests and by
-    the DuckDB oracle); smaller ``n_probe`` trades recall for candidate count.
-    """
-    seeds = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(min(n_cells, max_centroid_rows))
-        .collect()
-    )
-    centroids = [[float(x) for x in r[1]] for r in seeds]
+def _ivf_assign_literal(emb, id_col, vec_col, centroids, n_probe) -> DataFrame:
+    """(id, v, nrm, cell, probes) with cell scores as unrolled literal-array
+    expressions — whole-stage codegen, right for small n_cells. Centroid
+    norms fold to constants driver-side. Ties: higher cell id wins (struct
+    max), probe order = cosine desc then cell desc (reverse(array_sort))."""
+    import math
 
     def cell_scores(vcol):
-        # cos(v, c_j) for each centroid as literal arrays; norms of the
-        # centroids fold to constants driver-side
-        import math
-
         scores = []
         for j, c in enumerate(centroids):
             c_norm = math.sqrt(sum(x * x for x in c)) or 1.0
@@ -310,21 +342,206 @@ def ivf_topk(
             )
         return F.array(*scores)
 
-    v = emb.select(
+    return emb.select(
         F.col(id_col).alias("id"),
         _as_double(F.col(vec_col)).alias("v"),
         cell_scores(F.col(vec_col)).alias("scores"),
-    ).withColumn("nrm", _norm(F.col("v"))).persist()
+    ).select(
+        "id",
+        "v",
+        _norm(F.col("v")).alias("nrm"),
+        F.array_max("scores").getField("cell").alias("cell"),
+        F.transform(
+            F.slice(F.reverse(F.array_sort("scores")), 1, n_probe),
+            lambda s: s.getField("cell"),
+        ).alias("probes"),
+    )
 
-    indexed = v.select("id", "v", "nrm", F.array_max("scores").getField("cell").alias("cell"))
-    probes = v.select(
+
+def _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe) -> DataFrame:
+    """(id, v, nrm, cell, probes) with cell assignment as ONE numpy matmul per
+    Arrow batch against a broadcast centroid matrix — the large-n_cells
+    physical plan (the expression tree stays O(1) in n_cells and per-row cost
+    is a BLAS row). Tie-breaks replicate the literal path exactly (cosine
+    desc, then cell id desc). ``v`` passes through Arrow as float64 and
+    ``nrm`` is computed JVM-side afterwards, so downstream exact-cosine
+    arithmetic is bit-identical to the literal path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cen = np.array(centroids, dtype=np.float64)
+    norms = np.linalg.norm(cen, axis=1)
+    norms[norms == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast(cen / norms[:, None])
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("probes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def assign(batches):
+        cen_n = bc.value
+        n_cells = cen_n.shape[0]
+        cells_desc = -np.arange(n_cells)  # lexsort secondary: cell id DESC
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn) @ cen_n.T  # (batch, n_cells)
+            cell, probes = [], []
+            for row in sims:
+                order = np.lexsort((cells_desc, -row))[:n_probe]
+                cell.append(int(order[0]))
+                probes.append([int(c) for c in order])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "v": [r.tolist() for r in q],
+                    "cell": np.array(cell, dtype=np.int32),
+                    "probes": probes,
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(assign, schema)
+    return assigned.select("id", "v", _norm(F.col("v")).alias("nrm"), "cell", "probes")
+
+
+def kmeans_refine_centroids(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list[list[float]]:
+    """Spherical k-means sweeps over the seed centroids: assign every vector
+    to its nearest (cosine) centroid, recompute each centroid as the cell
+    mean. Distributed-safe at corpus scale: per-partition partial sums are
+    accumulated in numpy and ONLY (n_cells x dim) aggregates shuffle — the
+    driver never sees vectors, just the (cell, count, sum) rollup. Empty
+    cells keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    dim = len(centroids[0])
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cen = np.array(centroids, dtype=np.float64)
+    for _ in range(iters):
+        norms = np.linalg.norm(cen, axis=1)
+        norms[norms == 0.0] = 1.0
+        bc = spark.sparkContext.broadcast(cen / norms[:, None])
+
+        def partials(batches):
+            cen_n = bc.value
+            sums = np.zeros((cen_n.shape[0], dim), dtype=np.float64)
+            counts = np.zeros(cen_n.shape[0], dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                qn[qn == 0.0] = 1.0
+                cells = np.argmax((q / qn) @ cen_n.T, axis=1)
+                np.add.at(sums, cells, q)
+                np.add.at(counts, cells, 1)
+            hit = np.flatnonzero(counts)
+            if hit.size:  # never yield empty frames (Arrow float64 poisoning)
+                yield pd.DataFrame(
+                    {
+                        "cell": hit.astype(np.int32),
+                        "cnt": counts[hit],
+                        "vsum": [sums[c].tolist() for c in hit],
+                    }
+                )
+
+        rolled = (
+            emb.select(vec_col)
+            .mapInPandas(partials, schema)
+            .select("cell", "cnt", F.posexplode("vsum").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("x").alias("x"))
+            .collect()
+        )
+        bc.unpersist()
+        new_cen = cen.copy()
+        # each (cell, pos) group sums cnt once per contributing partition,
+        # so r["cnt"] is the cell's total vector count
+        for r in rolled:
+            new_cen[r["cell"], r["pos"]] = r["x"] / r["cnt"]
+        cen = new_cen
+    return [list(map(float, row)) for row in cen]
+
+
+def ivf_topk(
+    spark,
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    max_centroid_rows: int = 65536,
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the centroid-bucketed counterpart of
+    :func:`lsh_bucketed_topk`:
+
+    1. centroids: deterministic seeds (the ``n_cells`` lowest-id vectors),
+       collected driver-side (bounded by ``max_centroid_rows``), optionally
+       refined with ``kmeans_iters`` spherical k-means sweeps
+       (:func:`kmeans_refine_centroids` — only (n_cells x dim) aggregates
+       ever reach the driver);
+    2. every vector is assigned to its nearest centroid cell — unrolled
+       literal expressions in whole-stage codegen up to
+       ``IVF_LITERAL_MAX_CELLS`` cells, a broadcast-matrix mapInPandas
+       matmul above that (the 2^12+-cell physical plan);
+    3. each query probes its ``n_probe`` nearest cells; candidates come from
+       a cell-key equi-join (shuffle on the cell id, never a cross join);
+    4. exact cosine + per-query top-k window over the probed candidates.
+
+    With ``n_probe == n_cells`` every cell is probed and the result is EXACT
+    brute-force top-k (pinned against :func:`cosine_topk` in tests and by
+    the DuckDB oracle); smaller ``n_probe`` trades recall for candidate count.
+    """
+    seeds = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(min(n_cells, max_centroid_rows))
+        .collect()
+    )
+    centroids = [[float(x) for x in r[1]] for r in seeds]
+    if kmeans_iters > 0:
+        centroids = kmeans_refine_centroids(
+            emb, centroids, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
+        )
+
+    if n_cells <= IVF_LITERAL_MAX_CELLS:
+        av = _ivf_assign_literal(emb, id_col, vec_col, centroids, n_probe)
+    else:
+        av = _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe)
+    av = av.persist()
+
+    indexed = av.select("id", "v", "nrm", "cell")
+    probes = av.select(
         F.col("id").alias("query_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_n"),
-        F.explode(
-            F.slice(F.reverse(F.array_sort("scores")), 1, n_probe)
-        ).alias("probe"),
-    ).select("query_id", "q_v", "q_n", F.col("probe.cell").alias("cell"))
+        F.explode("probes").alias("cell"),
+    )
 
     cos = _dot(F.col("q_v"), F.col("nbr_v")) / (F.col("q_n") * F.col("n_n"))
     scored = (

@@ -1,13 +1,11 @@
 """Text-analysis operators for training-data pipelines: language ID, quality
 scoring, token counting, document fingerprinting.
 
-Quality/token/fingerprint are pure built-in expressions (whole-stage
-codegen, SQL-oracle-able). Language ID is an n-gram/stop-word heuristic as a
-vectorized pandas UDF (rows-only check + pytest)."""
+All four are pure built-in expressions (whole-stage codegen,
+SQL-oracle-able) — zero Python in the hot path."""
 
 from __future__ import annotations
 
-import pandas as pd  # module-level: pandas UDF type hints resolve against globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,30 +98,43 @@ _LANG_PROFILES = {
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic language ID: CJK codepoint ratio dominates, else the
-    stop-word profile with the most hits (ties -> 'und'). Vectorized pandas
-    UDF — Arrow-batched, no per-row Python."""
-    from pyspark.sql.types import StringType
+    stop-word profile with the most occurrence hits (first language in sorted
+    order wins ties; 'und' when nothing hits).
 
-    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items() if v}
+    Pure built-in expressions — no Python anywhere: the per-profile hit
+    counts are ONE ``aggregate`` fold over the token array (a 4-field struct
+    accumulator, so the tokens are walked once, not once per language), the
+    CJK ratio is a ``regexp_count`` over the first 400 chars, and the argmax
+    is a CASE chain in sorted-language order (identical tie semantics to the
+    reference Python loop: the alphabetically-first language at the max).
+    The whole operator stays inside whole-stage codegen — the physical plan
+    has no ArrowEvalPython node (asserted in tests/test_text_analysis.py)."""
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    head = F.substring(txt, 1, 400)
+    cjk = F.regexp_count(head, F.lit("[一-鿿]"))
+    toks = F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != "")
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
 
-    @F.pandas_udf(StringType())
-    def lang_udf(texts: pd.Series) -> pd.Series:
-        def detect(text: str) -> str:
-            if not text:
-                return "und"
-            cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
-            if cjk > len(text[:400]) * 0.2:
-                return "zh"
-            toks = text.lower().split()
-            if not toks:
-                return "und"
-            best_lang, best_hits = "und", 0
-            for lang in sorted(profiles):
-                hits = sum(1 for t in toks if t in profiles[lang])
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            return best_lang if best_hits > 0 else "und"
+    def step(acc, t):
+        return F.struct(
+            *[
+                (
+                    acc[lang]
+                    + F.when(t.isin(*sorted(_LANG_PROFILES[lang])), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(lang)
+                for lang in langs
+            ]
+        )
 
-        return texts.map(detect)
-
-    return docs.select(F.col(id_col), lang_udf(F.col(text_col)).alias("predicted_lang"))
+    counts = F.aggregate(toks, zero, step)
+    best = F.greatest(*[counts[lang] for lang in langs])
+    pick = F.when(best <= F.lit(0), F.lit("und"))
+    for lang in langs:  # sorted order: first language at the max wins ties
+        pick = pick.when(counts[lang] == best, F.lit(lang))
+    lang_expr = F.when(
+        cjk.cast("double") > F.length(head) * F.lit(0.2), F.lit("zh")
+    ).otherwise(pick)
+    return docs.select(F.col(id_col), lang_expr.alias("predicted_lang"))

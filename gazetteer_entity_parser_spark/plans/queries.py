@@ -76,12 +76,14 @@ def _parser_cache(spark: SparkSession, sf_dir: str, which: str):
         )
     bc = spark.sparkContext.broadcast(parser)
     if len(_PARSER_CACHE) >= 8:
-        for old in _PARSER_CACHE.values():
+        # evict only dead-session entries (applicationId != current): live
+        # entries are hot and would be re-broadcast immediately on next use
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _PARSER_CACHE if k[0] != app]:
             try:
-                old.unpersist()
+                _PARSER_CACHE.pop(k).unpersist()
             except Exception:
                 pass  # session may already be stopped
-        _PARSER_CACHE.clear()
     _PARSER_CACHE[key] = bc
     return bc
 
@@ -132,13 +134,13 @@ def _alias_frames(spark: SparkSession, sf_dir: str) -> dict:
         for df in fr.values():
             df.persist()
         if len(_FRAMES_CACHE) >= 8:
-            for old in _FRAMES_CACHE.values():
-                for df in old.values():
+            app = spark.sparkContext.applicationId
+            for k in [k for k in _FRAMES_CACHE if k[0] != app]:
+                for df in _FRAMES_CACHE.pop(k).values():
                     try:
                         df.unpersist()
                     except Exception:
                         pass  # session may already be stopped
-            _FRAMES_CACHE.clear()
         _FRAMES_CACHE[key] = fr
     return fr
 
@@ -1132,7 +1134,11 @@ def _emb_with_near_dups(spark, sf_dir):
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup: keep only vectors with no more-senior
-    (lower-id) neighbor at cosine >= 0.95 (single-pass min-id rule)."""
+    (lower-id) neighbor at cosine >= 0.95 (single-pass min-id rule). Runs the
+    DEFAULT hyperplane-LSH candidate path (bucket join + exact-cosine verify
+    — never a cross join); the brute-force oracle matches because every true
+    near-dup here sits at cosine ~1.0, where L-table recall is 1.0 (all plane
+    signs agree; measured recall pinned in tests/test_dedup.py)."""
     from ..operators.dedup import embedding_near_dup_keepers
 
     return embedding_near_dup_keepers(
@@ -1175,6 +1181,10 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_ann_lsh_topk(spark, sf_dir):
+    """Approximate-by-design (no oracle): the driver records a rows-only
+    check; the evidence behind it is the MEASURED recall vs exact brute-force
+    top-k pinned at these exact parameters in
+    tests/test_similarity.py::test_lsh_topk_driver_params_recall_pinned."""
     from ..operators.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(_emb(spark, sf_dir), k=3, n_planes=4)

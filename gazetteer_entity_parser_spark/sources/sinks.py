@@ -49,10 +49,81 @@ def merge_into_iceberg(spark: SparkSession, target_table: str, updates: DataFram
 def committed_tokens(target_path: str) -> set[str]:
     """Commit tokens already merged into ``target_path`` (see
     :func:`merge_into_parquet`'s ``commit_token``)."""
+    _recover_symlink(target_path)
     if not os.path.isdir(target_path):
         return set()
     prefix = "_commit_"
     return {f[len(prefix):] for f in os.listdir(target_path) if f.startswith(prefix)}
+
+
+# ---- symlink-versioned store layout -----------------------------------------
+#
+#   <target>                 -> symlink to the CURRENT version dir (atomic swap)
+#   <target>.v-000007-<uuid> -> version dir: bucket=K/ parquet partitions,
+#                               _commit_<tok> markers, _nbuckets_<N> marker
+#
+# The store is hash-partitioned by pmod(xxhash64(subj), N) so a merge rewrites
+# ONLY the partitions its updates touch; untouched partitions are HARD-LINKED
+# from the previous version (no data copy, byte-identical files). Publishing
+# is a single os.rename of a symlink — one atomic step, no window where the
+# target is absent (ADVICE r2: the old two-rename swap could strand the store
+# mid-crash). On a real cluster Iceberg MERGE INTO supersedes all of this.
+
+_VERSION_RE = ".v-"
+
+
+def _version_dirs(target_path: str) -> list[str]:
+    """Existing version dirs for this store, oldest-to-newest (the version
+    counter in the name is zero-padded, so lexicographic sort = creation
+    order)."""
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(target_path) + _VERSION_RE
+    if not os.path.isdir(parent):
+        return []
+    return sorted(
+        os.path.join(parent, d) for d in os.listdir(parent) if d.startswith(base)
+    )
+
+
+def _recover_symlink(target_path: str) -> None:
+    """Crash recovery: if the target symlink is missing or broken but version
+    dirs exist, repoint it at the NEWEST version. Covers a crash between
+    version-dir creation and the symlink swap (nothing is lost: the old
+    version stays current) and, vestigially, old-scheme two-rename crashes."""
+    exists = os.path.exists(target_path)  # follows symlinks; False if broken
+    if exists:
+        return
+    if os.path.islink(target_path):  # broken link
+        os.unlink(target_path)
+    versions = _version_dirs(target_path)
+    if versions:
+        _swap_symlink(target_path, versions[-1])
+
+
+def _swap_symlink(target_path: str, version_dir: str) -> None:
+    """Atomically (re)point ``target_path`` at ``version_dir`` — one
+    os.rename of a fresh symlink; readers see the old or the new version,
+    never an absent store."""
+    tmp_link = f"{target_path}.lnk-{uuid.uuid4().hex[:8]}"
+    os.symlink(os.path.basename(version_dir), tmp_link)
+    os.rename(tmp_link, target_path)
+
+
+def _next_version_path(target_path: str) -> str:
+    versions = _version_dirs(target_path)
+    if versions:
+        last = os.path.basename(versions[-1]).rsplit("-", 2)[-2]
+        n = int(last) + 1
+    else:
+        n = 0
+    return f"{target_path}{_VERSION_RE}{n:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _store_n_buckets(version_dir: str) -> int | None:
+    for f in os.listdir(version_dir):
+        if f.startswith("_nbuckets_"):
+            return int(f[len("_nbuckets_"):])
+    return None
 
 
 def merge_into_parquet(
@@ -60,47 +131,120 @@ def merge_into_parquet(
     target_path: str,
     updates: DataFrame,
     commit_token: str | None = None,
+    n_buckets: int = 32,
 ) -> bool:
-    """Same upsert semantics as :func:`merge_sql` against a parquet dir.
-    Write-to-temp + atomic rename keeps the target readable during the merge
-    and makes a failed merge replayable (lineage/idempotence contract).
+    """Same upsert semantics as :func:`merge_sql` against a parquet store.
+
+    Scale shape: the store is partitioned by ``bucket = pmod(xxhash64(subj),
+    n_buckets)`` and a merge REWRITES ONLY TOUCHED PARTITIONS — the read side
+    partition-prunes to the touched buckets, the write produces just those
+    ``bucket=K`` dirs, and every untouched partition is hard-linked from the
+    previous version (zero copy, byte-identical — pinned in
+    tests/test_streaming.py). A micro-batch touching B of N buckets costs
+    O(B/N of the table), not O(table). ``n_buckets`` is fixed at store
+    creation (an ``_nbuckets_<N>`` marker wins over the parameter afterwards).
+
+    Publishing is ONE atomic ``os.rename`` of a symlink onto the target
+    (see the layout note above) — the target is never absent, a torn merge
+    leaves the previous version current, and :func:`_recover_symlink` repoints
+    a missing/broken link at the newest version on the next call.
 
     ``commit_token`` makes the merge IDEMPOTENT for at-least-once callers
-    (foreachBatch retries a batch after a driver failure): a ``_commit_<tok>``
-    marker rides inside the directory that is atomically renamed into place,
-    so the token is durable iff that merge's result is, with no window where
-    one exists without the other. A re-invocation with an already-committed
-    token is a no-op. Returns True if the merge ran, False if skipped.
-    (Parquet readers ignore ``_``-prefixed files.)"""
+    (foreachBatch retries a batch after a driver failure): ``_commit_<tok>``
+    markers ride inside the version dir that the symlink swap publishes, so a
+    token is durable iff that merge's result is. A re-invocation with an
+    already-committed token is a no-op. Returns True if the merge ran, False
+    if skipped. (Parquet readers ignore ``_``-prefixed files.)"""
+    _recover_symlink(target_path)
     if commit_token is not None and str(commit_token) in committed_tokens(target_path):
         return False
-    if os.path.exists(target_path):
-        current = spark.read.parquet(target_path)
+
+    upd = updates.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+    )
+    current_version = os.path.realpath(target_path) if os.path.exists(target_path) else None
+    legacy_dir = current_version is not None and not os.path.islink(target_path)
+
+    if current_version is not None:
+        stored_n = _store_n_buckets(current_version)
+        if stored_n is not None and stored_n != n_buckets:
+            n_buckets = stored_n
+            upd = updates.withColumn(
+                "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+            )
+    touched = sorted(
+        r["bucket"] for r in upd.select("bucket").distinct().collect()
+    )  # bounded by n_buckets rows
+
+    if current_version is not None and not legacy_dir:
+        current = spark.read.parquet(current_version)
         merged = (
-            current.unionByName(updates)
-            .groupBy("subj", "pred", "obj")
+            # partition pruning: only the touched buckets' files are read
+            # (an empty batch touches nothing: every partition hard-links)
+            current.where(F.col("bucket").isin(touched) if touched else F.lit(False))
+            .unionByName(upd)
+            .groupBy("subj", "pred", "obj", "bucket")
             .agg(
                 F.sum("weight").alias("weight"),
                 F.min("subj_rank").alias("subj_rank"),
                 F.min("obj_rank").alias("obj_rank"),
             )
         )
+    elif legacy_dir:  # pre-versioning store: one full rewrite migrates it
+        current = spark.read.parquet(current_version).withColumn(
+            "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+        )
+        merged = (
+            current.unionByName(upd)
+            .groupBy("subj", "pred", "obj", "bucket")
+            .agg(
+                F.sum("weight").alias("weight"),
+                F.min("subj_rank").alias("subj_rank"),
+                F.min("obj_rank").alias("obj_rank"),
+            )
+        )
+        touched = list(range(n_buckets))
     else:
-        merged = updates
-    tmp = f"{target_path}.tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    # carry forward prior commit markers, then add this merge's token —
-    # markers become durable atomically with the rename below
+        merged = upd
+
+    new_version = _next_version_path(target_path)
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(new_version)
+
+    # hard-link untouched partitions from the current version (same inode ->
+    # byte-identical, no data copy)
+    if current_version is not None and not legacy_dir:
+        touched_dirs = {f"bucket={b}" for b in touched}
+        for entry in os.listdir(current_version):
+            if entry.startswith("bucket=") and entry not in touched_dirs:
+                src = os.path.join(current_version, entry)
+                dst = os.path.join(new_version, entry)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+
+    # markers become durable atomically with the symlink swap below
     for tok in committed_tokens(target_path):
-        open(os.path.join(tmp, f"_commit_{tok}"), "w").close()
+        open(os.path.join(new_version, f"_commit_{tok}"), "w").close()
     if commit_token is not None:
-        open(os.path.join(tmp, f"_commit_{commit_token}"), "w").close()
-    old = f"{target_path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(target_path):
-        os.rename(target_path, old)
-    os.rename(tmp, target_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+        open(os.path.join(new_version, f"_commit_{commit_token}"), "w").close()
+    open(os.path.join(new_version, f"_nbuckets_{n_buckets}"), "w").close()
+
+    if legacy_dir:
+        # migrate: the legacy dir's rows are already folded into new_version;
+        # move it aside so the symlink can take its path (recovery covers a
+        # crash inside this one-time window)
+        os.rename(target_path, f"{target_path}.old-{uuid.uuid4().hex[:8]}")
+    _swap_symlink(target_path, new_version)
+
+    # prune superseded versions and old-scheme leftovers
+    for v in _version_dirs(target_path):
+        if os.path.abspath(v) != os.path.abspath(new_version):
+            shutil.rmtree(v, ignore_errors=True)
+    parent = os.path.dirname(os.path.abspath(target_path)) or "."
+    base = os.path.basename(target_path)
+    for d in os.listdir(parent):
+        if d.startswith(f"{base}.old-") or d.startswith(f"{base}.tmp-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     return True
 
 

@@ -109,3 +109,50 @@ def test_embedding_near_dup_keepers(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     kept = {r["vec_id"] for r in embedding_near_dup_keepers(emb, threshold=0.95).collect()}
     assert kept == {0, 1, 3}
+
+
+def test_embedding_dedup_lsh_default_equals_brute(spark):
+    """The DEFAULT (hyperplane-LSH candidates) keeper set must equal the
+    brute-force O(n^2) keeper set on the injected-near-dup corpus — the
+    recall-1.0 evidence behind the dedup_embedding_cosine oracle."""
+    from gazetteer_entity_parser_spark.operators.dedup import embedding_near_dup_keepers
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8, "vec_id")
+    copies = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    inj = emb.select("vec_id", "embedding").unionByName(copies)
+    kept_lsh = {r["vec_id"] for r in embedding_near_dup_keepers(inj, threshold=0.95).collect()}
+    kept_brute = {
+        r["vec_id"]
+        for r in embedding_near_dup_keepers(inj, threshold=0.95, method="brute").collect()
+    }
+    assert kept_lsh == kept_brute
+    assert len(kept_lsh) == 500  # the 50 scaled copies are the dropped set
+
+
+def test_embedding_dedup_default_plan_has_no_cross_join(spark):
+    from gazetteer_entity_parser_spark.operators.dedup import embedding_near_dup_keepers
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        embedding_near_dup_keepers(emb, threshold=0.95)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the only BroadcastNestedLoopJoin-free join left is the bucket equi-join
+    # + the broadcast anti-join on the (small) dominated set
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_rejects_unknown_method(spark):
+    from gazetteer_entity_parser_spark.operators.dedup import embedding_near_dup_keepers
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="method"):
+        embedding_near_dup_keepers(emb, method="faiss")

@@ -123,3 +123,115 @@ def test_ivf_partial_probe_recall(spark):
     assert recall >= 0.4, recall  # partial probing keeps a useful share
     # and the probed candidate set is genuinely smaller than brute force
     assert len(approx - exact) < len(exact)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cosine_pairs_lsh_equals_brute_on_near_dups(spark, emb):
+    """The bucketed pair scan must find every injected near-dup pair that the
+    brute-force scan finds (recall 1.0 at cosine ~1.0 — parallel vectors agree
+    on every hyperplane sign in every table)."""
+    from gazetteer_entity_parser_spark.operators.similarity import (
+        cosine_similar_pairs_lsh,
+    )
+
+    copies = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    inj = emb.select("vec_id", "embedding").unionByName(copies)
+    brute = {(r["id_a"], r["id_b"]) for r in cosine_similar_pairs(inj, threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in cosine_similar_pairs_lsh(inj, threshold=0.95).collect()}
+    assert brute == lsh
+    assert len(brute) > 0
+
+
+def test_cosine_pairs_lsh_plan_has_no_cross_join(spark, emb):
+    from gazetteer_entity_parser_spark.operators.similarity import (
+        cosine_similar_pairs_lsh,
+    )
+
+    plan = _plan(cosine_similar_pairs_lsh(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # and the brute baseline genuinely is the cross join we avoided
+    assert "CartesianProduct" in _plan(cosine_similar_pairs(emb, threshold=0.9)) or \
+        "BroadcastNestedLoopJoin" in _plan(cosine_similar_pairs(emb, threshold=0.9))
+
+
+def test_lsh_topk_driver_params_recall_pinned(spark):
+    """MEASURED recall for the exact parameters the driver query
+    sim_ann_lsh_topk ships (k=3, n_planes=4, n_tables=4) on the sf0.01
+    corpus. Planes are blake2b-derived and the corpus is fixed, so recall is
+    deterministic — this number is the evidence behind the driver's
+    rows-only check (cited from plans/queries.py)."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .repartition(8, "vec_id")
+        .cache()
+    )
+    brute = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=3).collect()}
+    lsh = {
+        (r["query_id"], r["nbr_id"])
+        for r in lsh_bucketed_topk(emb, k=3, n_planes=4).collect()
+    }
+    recall = len(brute & lsh) / len(brute)
+    assert abs(recall - 0.4433) < 1e-3, recall
+
+
+def test_ivf_matmul_path_exact_at_full_probe(spark):
+    """n_cells=64 > IVF_LITERAL_MAX_CELLS routes cell assignment through the
+    broadcast-matrix mapInPandas matmul; with every cell probed the result is
+    still EXACT brute-force top-k (the scale plan changes nothing about the
+    verify stage's arithmetic)."""
+    from gazetteer_entity_parser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8, "vec_id")
+    exact = {tuple(r) for r in cosine_topk(emb, emb, k=3).collect()}
+    ivf = {tuple(r) for r in ivf_topk(spark, emb, k=3, n_cells=64, n_probe=64).collect()}
+    assert ivf == exact
+
+
+def test_ivf_plan_literal_vs_matmul(spark):
+    """Physical-plan pin for the two assignment strategies: small n_cells
+    stays in pure codegen (no Python nodes), large n_cells runs ONE
+    mapInPandas instead of n_cells unrolled aggregate expressions."""
+    from gazetteer_entity_parser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit_plan = _plan(ivf_topk(spark, emb, k=3, n_cells=8, n_probe=2))
+    assert "MapInPandas" not in lit_plan and "ArrowEvalPython" not in lit_plan
+    mm_plan = _plan(ivf_topk(spark, emb, k=3, n_cells=48, n_probe=2))
+    assert "MapInPandas" in mm_plan
+    # centroid scoring is not unrolled as literal aggregate expressions
+    assert mm_plan.count("aggregate(") < 10
+
+
+def test_ivf_kmeans_refinement_improves_partial_probe_recall(spark):
+    """Two spherical k-means sweeps over the seed centroids: full probe stays
+    exact, and at a fixed probe budget (n_probe=8 of 64 cells) the refined
+    cells recall MORE true neighbors than raw seeds (measured 0.60 vs 0.48 on
+    sf0.01) — centroids that actually summarize the data make nearby vectors
+    land in probed cells."""
+    from gazetteer_entity_parser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").repartition(8, "vec_id").cache()
+    exact = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=3).collect()}
+    full_km = {tuple(r) for r in ivf_topk(spark, emb, k=3, n_cells=64, n_probe=64, kmeans_iters=2).collect()}
+    assert {(a, b) for a, b, _c, _r in full_km} == exact  # full probe stays exact
+    seed8 = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivf_topk(spark, emb, k=3, n_cells=64, n_probe=8).collect()
+    }
+    km8 = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivf_topk(spark, emb, k=3, n_cells=64, n_probe=8, kmeans_iters=2).collect()
+    }
+    r_seed = len(exact & seed8) / len(exact)
+    r_km = len(exact & km8) / len(exact)
+    assert r_km > r_seed, (r_km, r_seed)
+    assert r_km >= 0.55, r_km

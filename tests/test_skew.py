@@ -47,3 +47,101 @@ def test_prepend_and_rebroadcast(spark):
     assert [a.resolved for a in out[0].alternatives] == ["Old Stones"]
     # ranks rebased: old entity now rank 1
     assert bc2.value.registry.entity_rank == [1, 0]
+
+
+def test_minhash_hot_bucket_chain_guard(spark):
+    """Boilerplate skew: 100 byte-identical docs put ALL ids in one bucket per
+    band. Over the cap the guard switches to chain pairing: O(bucket) pairs
+    (consecutive ids), not O(bucket^2) — while keeping the dup cluster fully
+    CONNECTED so min-id / connected-component dedup is unchanged."""
+    from gazetteer_entity_parser_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "exact same boilerplate page content repeated verbatim") for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    capped = minhash_lsh_candidates(docs, n_shingle=2, max_bucket_size=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # chain pairs only: (0,1), (1,2), ..., (98,99)
+    assert pairs == {(i, i + 1) for i in range(99)}
+    # connectivity: union-find over the chain joins all 100 docs
+    parent = list(range(100))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(100)}) == 1
+    # below the cap the same corpus yields all O(n^2) pairs
+    full = minhash_lsh_candidates(docs, n_shingle=2, max_bucket_size=1024).count()
+    assert full == 100 * 99 // 2
+
+
+def test_ngram_hot_shingle_df_guard(spark):
+    """A boilerplate footer shared by every doc dominates Jaccard and floods
+    the postings self-join. With max_shingle_df, boilerplate shingles leave
+    the shingle universe: unrelated docs stop pairing, true near-dups (in
+    their unique content) still pair."""
+    from gazetteer_entity_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"footer{j}" for j in range(20))
+    rows = [(i, f"unique{i}a unique{i}b unique{i}c " + boiler) for i in range(30)]
+    rows.append((1000, "unique0a unique0b unique0c " + boiler))  # near-dup of 0
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    unguarded = ngram_jaccard_pairs(docs, n_shingle=2, threshold=0.5).count()
+    assert unguarded == 31 * 30 // 2  # boilerplate makes EVERY pair "similar"
+
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, n_shingle=2, threshold=0.5, max_shingle_df=5
+        ).collect()
+    }
+    assert guarded == {(0, 1000)}
+
+
+def test_multi_megabyte_single_doc_extraction(spark):
+    """Stage-B robustness (SURVEY.md 4.3): one ~3.4 MB document (500k tokens,
+    no sentence breaks) must stream through the kernel window-by-window —
+    iter_windows is a generator, so per-window state is bounded regardless of
+    document size, even with tiny Arrow batches."""
+    import inspect
+
+    from gazetteer_entity_parser_spark.operators.extract import iter_windows
+
+    # structural pin: windows are generated lazily, never materialized per doc
+    assert inspect.isgeneratorfunction(iter_windows)
+
+    gaz = literal_gazetteer(spark, [("tok1", "TOK1"), ("tok2 tok3", "TOK23")])
+    bc = broadcast_parser(spark, build_parser_distributed(gaz, threshold=1.0))
+    giant = " ".join("tok%d" % (i % 50) for i in range(500_000))
+    assert len(giant) > 2_500_000  # multi-megabyte single row
+    docs = spark.createDataFrame(
+        [("giant", giant), ("small", "tok1 tok2 tok3")], "url string, text string"
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    try:
+        out = extract_mentions(docs, bc, window_tokens=10)
+        counts = {
+            r["url"]: r["cnt"]
+            for r in out.groupBy("url").agg(F.count("*").alias("cnt")).collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # tok1 once per 50-token cycle; the tok2-tok3 bigram likewise (never
+    # split by a window: cycle positions 1,2 inside each 10-token window)
+    assert counts["giant"] == 10_000 + 10_000
+    assert counts["small"] == 2
+
+
+def test_extract_empty_columns_list_raises_at_driver(spark):
+    gaz = literal_gazetteer(spark, [("tok1", "TOK1")])
+    bc = broadcast_parser(spark, build_parser_distributed(gaz, threshold=1.0))
+    docs = spark.createDataFrame([("u", "tok1")], "url string, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        extract_mentions(docs, bc, columns=[])

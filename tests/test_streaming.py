@@ -169,3 +169,124 @@ def test_stream_restart_resumes_from_checkpoint(spark, pages, parser_bc, tmp_pat
     assert streamed == batch
     # the restart added the new pages' weight on top of the first tranche
     assert sum(streamed.values()) > sum(after_first.values())
+
+
+def _bucket_files(store: str) -> dict:
+    """{bucket_dir: {filename: md5}} of the store's CURRENT version."""
+    import hashlib
+    import os
+
+    real = os.path.realpath(store)
+    out = {}
+    for entry in sorted(os.listdir(real)):
+        if entry.startswith("bucket="):
+            files = {}
+            for f in sorted(os.listdir(os.path.join(real, entry))):
+                p = os.path.join(real, entry, f)
+                files[f] = hashlib.md5(open(p, "rb").read()).hexdigest()
+            out[entry] = files
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Scale contract (r2 verdict #3): a merge must rewrite only the
+    partitions its updates hash into; every untouched bucket's files stay
+    byte-identical (hard-linked, same names, same content)."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import merge_into_parquet
+
+    target = str(tmp_path / "store")
+    seed = spark.createDataFrame(
+        [(f"E{i}", "co_occurs_with", f"F{i}", 1, 0, 1) for i in range(64)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    assert merge_into_parquet(spark, target, seed, commit_token="0", n_buckets=8)
+    before = _bucket_files(target)
+    assert len(before) > 2  # 64 subjects spread over several of 8 buckets
+
+    one = spark.createDataFrame(
+        [("E0", "co_occurs_with", "F0", 5, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    assert merge_into_parquet(spark, target, one, commit_token="1", n_buckets=8)
+    after = _bucket_files(target)
+    assert set(after) == set(before)
+
+    from pyspark.sql import functions as F2
+    touched_bucket = "bucket=%d" % (
+        one.select(F2.pmod(F2.xxhash64("subj"), F2.lit(8)).cast("int")).collect()[0][0]
+    )
+    changed = [b for b in before if before[b] != after[b]]
+    assert changed == [touched_bucket]
+    for b in before:
+        if b != touched_bucket:
+            assert after[b] == before[b]  # same file names AND same bytes
+
+    # semantics: the additive upsert folded into the touched partition
+    rows = {
+        r["subj"]: r["weight"] for r in spark.read.parquet(target).collect()
+    }
+    assert rows["E0"] == 6 and rows["E1"] == 1 and len(rows) == 64
+
+    # the target is a symlink: publishing is one atomic rename (no window
+    # where the store is absent — r2 ADVICE medium)
+    assert os.path.islink(target)
+
+
+def test_merge_crash_recovery_repoints_newest_version(spark, tmp_path):
+    """A crash that loses the symlink (the old two-rename hazard) must be
+    self-healing: the next call repoints at the newest version dir and the
+    commit-token skip logic still sees prior tokens."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import (
+        committed_tokens,
+        merge_into_parquet,
+    )
+
+    target = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("A", "p", "B", 3, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    assert merge_into_parquet(spark, target, batch, commit_token="0")
+    assert merge_into_parquet(spark, target, batch, commit_token="1")
+    os.unlink(target)  # simulated crash: link gone, version dirs remain
+    assert committed_tokens(target) == {"0", "1"}  # recovery on entry
+    assert merge_into_parquet(spark, target, batch, commit_token="1") is False
+    assert spark.read.parquet(target).collect()[0]["weight"] == 6
+
+
+def test_merge_migrates_legacy_unpartitioned_store(spark, tmp_path):
+    """A pre-versioning store (plain parquet dir) is folded into the
+    partitioned layout on its first merge; weights stay additive."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import merge_into_parquet
+
+    target = str(tmp_path / "store")
+    legacy = spark.createDataFrame(
+        [("A", "p", "B", 3, 0, 1), ("C", "p", "D", 2, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    legacy.write.parquet(target)  # old layout: real dir, no buckets
+    assert not os.path.islink(target)
+
+    batch = spark.createDataFrame(
+        [("A", "p", "B", 1, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    assert merge_into_parquet(spark, target, batch, commit_token="m0")
+    assert os.path.islink(target)
+    rows = {r["subj"]: r["weight"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"A": 4, "C": 2}
+    # a later n_buckets override is ignored in favor of the store marker
+    assert merge_into_parquet(spark, target, batch, commit_token="m1", n_buckets=4)
+    rows = {r["subj"]: r["weight"] for r in spark.read.parquet(target).collect()}
+    assert rows == {"A": 5, "C": 2}

@@ -65,3 +65,25 @@ def test_language_id(spark, docs):
     assert rows[6] == "zh"
     assert rows[7] == "und"
     assert rows[2] == "und"
+
+
+def test_language_id_pure_codegen_plan(spark, docs):
+    """r2 ADVICE: language ID had the last removable pandas UDF. It is now
+    pure built-in expressions — the physical plan must contain no Python
+    evaluation node of any kind."""
+    plan = language_id(docs)._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+
+
+def test_language_id_tie_breaks_alphabetically(spark):
+    """Equal hit counts resolve to the alphabetically-first language (the
+    reference Python loop scanned sorted(profiles) with strict >)."""
+    df = spark.createDataFrame(
+        [(1, "the der"), (2, "que que"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert rows[1] == "de"  # en=1, de=1 -> de (sorted first at the max)
+    assert rows[2] == "es"  # 'que' is in es AND fr -> es wins the tie
+    assert rows[3] == "und"  # null text
