@@ -33,6 +33,8 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "join_broadcast_dims",
             "dedup_minhash_lsh",
             "dedup_simhash",
+            "dedup_embedding_cosine",  # round 3: bucketed-LSH default (the
+            # scale path) — benched now that it no longer cross-joins
             "sim_ann_lsh_topk",  # scale-path self-ANN (bucketed, no driver
             # collect); matmul-ANN (small-index contract) and brute-force
             # cosine_topk stay oracle-checked at sf0.01 in the correctness gate

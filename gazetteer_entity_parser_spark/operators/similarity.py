@@ -3,17 +3,22 @@
 - :func:`cosine_similar_pairs` / :func:`cosine_topk`: brute-force baseline,
   fully JVM-side (``zip_with`` dot product inside whole-stage codegen) —
   correct at any scale but O(n^2); used as the recall oracle.
-- :func:`lsh_bucketed_topk`: the scale path — random-hyperplane LSH buckets
-  shrink the candidate set so the self-join shuffles on bucket keys instead
-  of exploding the cross product. Hyperplanes are derived deterministically
-  from xxhash64 so driver and executors agree without shipping matrices.
+- :func:`lsh_bucketed_topk` / :func:`cosine_similar_pairs_lsh`: the scale
+  paths — random-hyperplane L-table buckets shrink the candidate set so the
+  self-join shuffles on (table, bucket) keys instead of exploding the cross
+  product. Hyperplanes are derived deterministically from blake2b so driver
+  and executors agree without shipping matrices.
 - :func:`ann_topk_matmul`: fixed-index pattern — broadcast the (small) index
   matrix, stream query batches through a numpy matmul in mapInPandas. This
   is the right physical plan when index << corpus (e.g. query 10^12 docs
   against a 10^6-vector index).
 - :func:`ivf_topk`: inverted-file ANN — nearest-centroid cells as the join
-  key (the centroid-bucketed counterpart of the hyperplane LSH path); full
-  probing degenerates to exact top-k, which pins the plan's correctness.
+  key (the centroid-bucketed counterpart of the hyperplane LSH path); cell
+  assignment is codegen literals for small cell counts and a broadcast
+  centroid matrix + mapInPandas matmul above ``IVF_LITERAL_MAX_CELLS``;
+  optional spherical k-means refinement (:func:`kmeans_refine_centroids`).
+  Full probing degenerates to exact top-k, which pins the plan's
+  correctness.
 """
 
 from __future__ import annotations
