@@ -186,11 +186,15 @@ def minhash_lsh_dedup_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_size: int = 1024,
 ) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard >= threshold."""
+    """LSH candidates verified with exact shingle Jaccard >= threshold.
+    ``max_bucket_size`` passes through to the hot-bucket chain guard in
+    :func:`minhash_lsh_candidates`."""
     shingled = shingled_docs(docs, id_col, text_col, n_shingle)
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, n_shingle, k, bands, shingled=shingled
+        docs, id_col, text_col, n_shingle, k, bands, shingled=shingled,
+        max_bucket_size=max_bucket_size,
     )
     a = shingled.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
     b = shingled.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
