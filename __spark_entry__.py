@@ -8,9 +8,11 @@ value-hash -> CORRECTNESS_r{N}.json).
 The engine lives in ``gazetteer_entity_parser_spark/`` (see SURVEY.md §2 and
 COVERAGE.md for the operator inventory each query covers). All queries are
 oracle-backed except two that are genuinely not SQL-expressible —
-``sim_ann_lsh_topk`` (approximate by design; recall vs the exact oracle
-pinned in tests) and ``dedup_simhash`` (byte-level FNV-1a fingerprints;
-pigeonhole + recall pinned in tests).
+``sim_ann_lsh_topk`` (approximate by design; recall at the SHIPPED
+parameters measured and pinned at 0.4433 in
+tests/test_similarity.py::test_lsh_topk_driver_params_recall_pinned) and
+``dedup_simhash`` (byte-level FNV-1a fingerprints; pigeonhole + recall
+pinned in tests/test_dedup.py).
 """
 
 from __future__ import annotations

@@ -382,6 +382,27 @@ def simhash_near_duplicates(
     )
 
 
+# ------------------------------------------------------------ dup clusters
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, cluster_id) from pairwise near-dup edges: cluster_id is the
+    MIN doc id of the connected component — i.e. the canonical keeper every
+    member should collapse to. This is the step that turns any of the
+    pairwise dedup operators above (minhash / simhash / ngram / embedding)
+    into actionable keep/drop decisions when duplicates form chains
+    (A~B, B~C but A!~C must still collapse to one keeper).
+    Iterative min-label propagation — see :mod:`..operators.graph`."""
+    from .graph import connected_components
+
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("entity").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 # --------------------------------------------- embedding-cosine near-dup
 
 

@@ -1,0 +1,71 @@
+"""Graph materialization operators over extracted edges (north_rule Stage
+D+): connected components by iterative min-label propagation.
+
+Each round is ONE shuffle keyed on the vertex id (neighbor-min groupBy), the
+labels frame is persisted per round and the previous round unpersisted, and
+the loop stops at the measured fixpoint (no label changed). Convergence is
+O(graph diameter) rounds — the right tool for the pipeline's actual graphs
+(near-duplicate clusters: diameter ~1-3; entity co-occurrence: small-world).
+For web-scale general graphs with long chains, the standard upgrade is the
+alternating large-star/small-star formulation (O(log n) rounds, same
+per-round plan shape); the API is agnostic to that swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(entity, component) for every vertex appearing in ``edges``; the
+    component id is the MINIMUM vertex id (by the column's natural ordering)
+    in the vertex's connected component — deterministic, join-friendly, and
+    directly usable as a dedup cluster keeper id.
+
+    Undirected: edges are symmetrized. Isolated vertices never enter
+    ``edges`` and so are absent from the output (callers union them back as
+    their own singleton components if needed)."""
+    half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    # localCheckpoint (not persist): every round's plan references the
+    # previous round 2-3 times, so without lineage TRUNCATION the logical
+    # plan grows ~3^rounds and the driver OOMs composing it long before any
+    # data moves (observed at ~25 rounds). Checkpointing materializes the
+    # round to executor storage and restarts the plan from a leaf — the
+    # standard shape for iterative DataFrame algorithms (production systems
+    # with fault-tolerance needs use reliable checkpoint(dir) instead).
+    labels = (
+        sym.select(F.col("a").alias("entity"))
+        .distinct()
+        .withColumn("label", F.col("entity"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = sym.join(labels, sym["a"] == labels["entity"]).select(
+            F.col("b").alias("entity"), "label"
+        )
+        new_labels = (
+            nbr_min.unionByName(labels)
+            .groupBy("entity")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("entity", F.col("label").alias("component"))

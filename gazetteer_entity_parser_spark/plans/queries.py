@@ -836,6 +836,52 @@ ORACLES: dict[str, str] = {
             WHERE o.vec_id < a.vec_id AND list_cosine_similarity(o.e, a.e) >= 0.95
         )
     """,
+    # duplicate clusters = connected components over the verified near-dup
+    # pair graph; min-id labels via recursive reachability (the graph is
+    # symmetric, so min over reachable vertices == component min)
+    "dedup_clusters_minhash": """
+        WITH RECURSIVE near AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1' AS text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM near)
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       tok || chr(31) || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS s
+                FROM toks
+            ) WHERE s IS NOT NULL
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b FROM shared
+            JOIN sizes na ON na.doc_id = id_a
+            JOIN sizes nb ON nb.doc_id = id_b
+            WHERE shared / (na.n + nb.n - shared) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS entity FROM edges),
+        w(entity, label) AS (
+            SELECT entity, entity FROM verts
+            UNION
+            SELECT e.dst, w2.label FROM w w2 JOIN edges e ON e.src = w2.entity
+        )
+        SELECT entity AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM w GROUP BY entity
+    """,
     "sim_cosine_pairs": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1102,6 +1148,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters_minhash(spark, sf_dir):
+    """Pairwise near-dups -> duplicate CLUSTERS (connected components, min-id
+    keeper label): the composition that turns any pairwise dedup operator
+    into keep/drop decisions when duplicates chain (A~B, B~C but A!~C).
+    Spark side: iterative min-label propagation (operators/graph.py — one
+    vertex-keyed shuffle per round, fixpoint-terminated). Oracle: DuckDB
+    recursive CTE reachability over the same exact-Jaccard pair set."""
+    from ..operators.dedup import dedup_clusters, minhash_lsh_dedup_pairs
+
+    pairs = minhash_lsh_dedup_pairs(
+        _docs_with_near_dups(spark, sf_dir), n_shingle=2, threshold=0.5
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     from ..operators.dedup import simhash_near_duplicates
 
@@ -1313,6 +1377,7 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters_minhash": q_dedup_clusters_minhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_simhash": q_dedup_simhash,
     "sim_cosine_pairs": q_sim_cosine_pairs,

@@ -1,0 +1,47 @@
+"""Connected components / dedup clusters: min-label propagation fixpoint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.dedup import dedup_clusters
+from gazetteer_entity_parser_spark.operators.graph import connected_components
+
+
+def test_components_mixed_topology(spark):
+    # triangle {1,2,3}, chain 10-11-12-13 (transitive, no direct 10~13 edge),
+    # isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    got = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_components_converge_on_long_path(spark):
+    """A path graph is the worst case for min-label propagation (label must
+    walk the whole diameter); 30 hops must still reach fixpoint."""
+    n = 30
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src bigint, dst bigint"
+    )
+    got = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_components_string_labels(spark):
+    edges = spark.createDataFrame(
+        [("B", "C"), ("A", "B"), ("X", "Y")], "src string, dst string"
+    )
+    got = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X"}
+
+
+def test_dedup_clusters_chain_collapses_to_one_keeper(spark):
+    """A~B, B~C without A~C (the case pairwise keep/drop rules get wrong)
+    must still collapse to one keeper cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
