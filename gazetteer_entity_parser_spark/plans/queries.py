@@ -902,7 +902,21 @@ ORACLES: dict[str, str] = {
         ) WHERE rk <= 3
     """,
     # full-probe IVF (n_probe == n_cells) is EXACT top-k, so the brute-force
-    # cosine oracle applies verbatim (same k, same id tie-break)
+    # cosine oracle applies verbatim (same k, same id tie-break) — for BOTH
+    # assignment plans (literal expressions at n_cells=8; broadcast-matrix
+    # mapInPandas matmul at n_cells=64)
+    "sim_ann_ivf_matmul_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(a.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= 3
+    """,
     "sim_ann_ivf_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
@@ -1265,6 +1279,19 @@ def q_sim_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(spark, _emb(spark, sf_dir), k=3, n_cells=8, n_probe=8)
 
 
+def q_sim_ann_ivf_matmul_topk(spark, sf_dir):
+    """The LARGE-n_cells IVF physical plan under the correctness gate:
+    n_cells=64 > IVF_LITERAL_MAX_CELLS routes cell assignment through the
+    broadcast-centroid mapInPandas matmul (one BLAS row per vector, O(1)
+    expression tree) instead of 64 unrolled literal aggregates. Every cell
+    probed -> EXACT top-k, so the brute-force cosine oracle applies verbatim
+    (vectors pass through Arrow as float64 and the verify arithmetic stays
+    JVM-side — bit-identical to the literal path; see similarity.py)."""
+    from ..operators.similarity import ivf_topk
+
+    return ivf_topk(spark, _emb(spark, sf_dir), k=3, n_cells=64, n_probe=64)
+
+
 def q_sim_ann_matmul_topk(spark, sf_dir):
     """Self-ANN with index == corpus: EXACT top-k, so it shares the
     sim_cosine_topk oracle. The test corpus is far below the operator's
@@ -1384,6 +1411,7 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
     "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
+    "sim_ann_ivf_matmul_topk": q_sim_ann_ivf_matmul_topk,
     "sim_ann_matmul_topk": q_sim_ann_matmul_topk,
     "text_token_stats": q_text_token_stats,
     "text_quality_scores": q_text_quality_scores,
