@@ -249,14 +249,21 @@ def merge_into_parquet(
 
 
 def merge_into(
-    spark: SparkSession, target: str, updates: DataFrame, prefer_iceberg: bool = True
+    spark: SparkSession,
+    target: str,
+    updates: DataFrame,
+    prefer_iceberg: bool = True,
+    commit_token: str | None = None,
+    n_buckets: int = 32,
 ) -> str:
     """Dispatch: Iceberg table name when the runtime is present, else parquet
-    path. Returns which path was taken ('iceberg' | 'parquet')."""
+    path. Returns which path was taken ('iceberg' | 'parquet').
+    ``commit_token``/``n_buckets`` apply to the parquet fallback (Iceberg
+    MERGE is transactional on its own)."""
     if prefer_iceberg and not target.startswith("/") and iceberg_available(spark):
         merge_into_iceberg(spark, target, updates)
         return "iceberg"
-    merge_into_parquet(spark, target, updates)
+    merge_into_parquet(spark, target, updates, commit_token=commit_token, n_buckets=n_buckets)
     return "parquet"
 
 
