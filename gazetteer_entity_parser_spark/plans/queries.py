@@ -363,6 +363,32 @@ def q_window_top3_orders(spark, sf_dir):
     )
 
 
+def q_window_running_totals(spark, sf_dir):
+    """Running-frame window family (ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW + lag): per-user cumulative event value over time. ROWS frame
+    with a unique (ts, event_id) tie-break is deterministic where the default
+    RANGE frame would absorb timestamp peers."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")).over(w).alias(
+            "running_value_e4"
+        ),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("running_n"),
+        F.lag("event_type").over(w_lag).alias("prev_type"),
+    )
+
+
 def q_join_semi_anti(spark, sf_dir):
     """left-semi and left-anti joins: customers with vs without orders,
     rolled up per nation."""
@@ -705,6 +731,20 @@ ORACLES: dict[str, str] = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
         GROUP BY event_type
+    """,
+    "window_running_totals": """
+        SELECT user_id, event_id,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_value_e4,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS running_n,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
     """,
     "join_semi_anti": """
         WITH w AS (
@@ -1396,6 +1436,7 @@ QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,
+    "window_running_totals": q_window_running_totals,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,
