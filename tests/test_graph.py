@@ -45,3 +45,43 @@ def test_dedup_clusters_chain_collapses_to_one_keeper(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """Randomized (seeded) cross-check against a pure-Python union-find on
+    sparse random graphs — catches propagation bugs topology-specific tests
+    miss (multi-hub merges, late component unions)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.05
+        ]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        in_graph = {v for e in edges for v in e}
+        expected = {}
+        for v in in_graph:
+            root = find(v)
+            expected[v] = min(u for u in in_graph if find(u) == root)
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["entity"]: r["component"] for r in connected_components(df).collect()
+        }
+        assert got == expected, f"seed {seed}"
