@@ -121,12 +121,20 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` is the hot-bucket skew guard: a boilerplate page
     shared by 10^6 docs would otherwise put all of them in one bucket and
     emit 10^12 pairs from the self-join. Buckets over the cap switch from
-    all-pairs to CHAIN pairing (consecutive ids after an in-bucket sort) —
-    O(bucket) pairs that keep every true dup cluster CONNECTED (min-id /
-    connected-component dedup sees the same components), trading only
-    non-adjacent pair edges, which downstream exact-Jaccard verification
-    would dedupe anyway. Bounded candidate counts are pinned in
-    tests/test_skew.py."""
+    all-pairs to CHAIN pairing — O(bucket) pairs, ordered by the FULL
+    minhash signature (then id) so that members of the same dup cluster sit
+    adjacent in the chain even when several distinct clusters band-collide
+    into one hot bucket (identical/near-identical docs have identical/
+    near-identical signatures; a plain id sort would interleave clusters and
+    the cross-cluster chain edges would all fail downstream Jaccard
+    verification). Within one cluster the chain keeps it CONNECTED, so
+    min-id / connected-component dedup sees the same components; only
+    non-adjacent intra-cluster edges are traded away, and verification
+    would dedupe those anyway. Caveat (by construction of any O(bucket)
+    scheme): two clusters whose signatures interleave exactly at the sort
+    boundary can still lose edges — the guard bounds work, it is not an
+    exactness guarantee; sub-threshold buckets remain exact. Bounded
+    candidate counts are pinned in tests/test_skew.py."""
     from pyspark.sql import Window
 
     rows_per_band = k // bands
@@ -168,12 +176,18 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    w = Window.partitionBy("band", "bucket").orderBy("id")
+    # chain order: full signature first (clusters group together), id second
+    # (deterministic); hot rows are few, so the sig rejoin is cheap
+    w = Window.partitionBy("band", "bucket").orderBy("sig", "id")
     pairs_big = (
         sized.where(F.col("_bsz") > max_bucket_size)
+        .join(sig, "id")
         .withColumn("_prev", F.lag("id").over(w))
         .where(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("id_a"), F.col("id").alias("id_b"))
+        .select(
+            F.least("_prev", "id").alias("id_a"),
+            F.greatest("_prev", "id").alias("id_b"),
+        )
     )
     return pairs_small.unionByName(pairs_big).distinct()
 
@@ -386,7 +400,7 @@ def simhash_near_duplicates(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
 ) -> DataFrame:
     """(doc_id, cluster_id) from pairwise near-dup edges: cluster_id is the
     MIN doc id of the connected component — i.e. the canonical keeper every
@@ -397,7 +411,7 @@ def dedup_clusters(
     Iterative min-label propagation — see :mod:`..operators.graph`."""
     from .graph import connected_components
 
-    cc = connected_components(pairs, src=id_a, dst=id_b)
+    cc = connected_components(pairs, src=id_a, dst=id_b, max_iters=max_iters)
     return cc.select(
         F.col("entity").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -415,6 +429,7 @@ def embedding_near_dup_keepers(
     n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Single-pass min-id embedding dedup: drop any vector that has a
     more-senior (lower-id) neighbor with cosine >= threshold; return the
@@ -435,6 +450,7 @@ def embedding_near_dup_keepers(
         pairs = cosine_similar_pairs_lsh(
             emb, id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_planes=n_planes, n_tables=n_tables, dim=dim,
+            max_bucket_size=max_bucket_size,
         )
     elif method == "brute":
         pairs = cosine_similar_pairs(emb, id_col=id_col, vec_col=vec_col, threshold=threshold)

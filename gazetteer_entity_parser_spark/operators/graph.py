@@ -1,11 +1,15 @@
 """Graph materialization operators over extracted edges (north_rule Stage
 D+): connected components by iterative min-label propagation.
 
-Each round is ONE shuffle keyed on the vertex id (neighbor-min groupBy), the
-labels frame is persisted per round and the previous round unpersisted, and
-the loop stops at the measured fixpoint (no label changed). Convergence is
-O(graph diameter) rounds — the right tool for the pipeline's actual graphs
-(near-duplicate clusters: diameter ~1-3; entity co-occurrence: small-world).
+Each round is ONE shuffle keyed on the vertex id (neighbor-min groupBy),
+each round's labels are localCheckpoint-ed (lineage truncation — see the
+in-function comment; superseded rounds are reclaimed by the ContextCleaner
+once their references drop, so steady-state storage is a small multiple of
+|V|, not O(rounds x |V|) retained), and the loop stops at the measured
+fixpoint (no label changed). Convergence is O(graph diameter) rounds — the
+right tool for the pipeline's actual graphs (near-duplicate clusters:
+diameter ~1-3; entity co-occurrence: small-world). Exhausting ``max_iters``
+before the fixpoint RAISES rather than returning silently-split components.
 For web-scale general graphs with long chains, the standard upgrade is the
 alternating large-star/small-star formulation (O(log n) rounds, same
 per-round plan shape); the API is agnostic to that swap.
@@ -48,6 +52,7 @@ def connected_components(
         .withColumn("label", F.col("entity"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = sym.join(labels, sym["a"] == labels["entity"]).select(
             F.col("b").alias("entity"), "label"
@@ -66,6 +71,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # a silent fall-out would return one true component split into many
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (graph diameter exceeds the budget); raise max_iters or use "
+            "a star-contraction variant for long-chain graphs"
+        )
     return labels.select("entity", F.col("label").alias("component"))

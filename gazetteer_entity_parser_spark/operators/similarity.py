@@ -41,6 +41,28 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _vectors_matrix(vals, dim):
+    """(n, dim) float64 matrix from a sequence of vectors. Rectangular input
+    of width ``dim`` is a single zero-copy-ish np.array; ragged or
+    differently-sized vectors degrade to prefix semantics (truncate past
+    ``dim``, zero-pad short rows) — matching the literal expression paths'
+    slice+coalesce behavior instead of raising from a ragged matmul."""
+    import numpy as np
+
+    vals = list(vals)
+    try:
+        q = np.array(vals, dtype=np.float64)
+        if q.ndim == 2 and q.shape[1] == dim:
+            return q
+    except ValueError:
+        pass
+    out = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        d = min(len(v), dim)
+        out[i, :d] = np.asarray(v[:d], dtype=np.float64)
+    return out
+
+
 def cosine_similar_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -171,8 +193,13 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
     bc = emb.sparkSession.sparkContext.broadcast(H)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
+    # id passes through untouched (string/uuid ids work exactly like the
+    # literal path, which never looks at the id either)
     schema = T.StructType(
-        [T.StructField("id", T.LongType()), T.StructField("v", T.ArrayType(T.DoubleType()))]
+        [
+            T.StructField("id", emb.schema[id_col].dataType),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
         + [T.StructField(f"b{t}", T.IntegerType()) for t in range(n_tables)]
     )
 
@@ -181,14 +208,16 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
             # prefix-LSH degradation on dim mismatch (same as the literal
-            # path's coalesce: missing components contribute 0 to the dot)
-            d = min(q.shape[1], planes.shape[1])
-            signs = (q[:, :d] @ planes[:, :d].T) >= 0.0  # (batch, T*P)
+            # path's slice+coalesce: missing components contribute 0)
+            q = _vectors_matrix(pdf[vec_col], planes.shape[1])
+            signs = (q @ planes.T) >= 0.0  # (batch, T*P)
             out = {
-                "id": pdf[id_col].to_numpy(dtype=np.int64),
-                "v": [r.tolist() for r in q],
+                "id": pdf[id_col],
+                # pass the ORIGINAL vector through (as float64) so downstream
+                # exact-cosine arithmetic matches the other paths even when
+                # the matrix was padded/truncated for hashing
+                "v": [[float(x) for x in v] for v in pdf[vec_col]],
             }
             for t in range(n_tables):
                 out[f"b{t}"] = (
@@ -248,6 +277,7 @@ def cosine_similar_pairs_lsh(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 8,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Scale path for :func:`cosine_similar_pairs`: candidate pairs from
     hyperplane L-tables (same-bucket in ANY table), then EXACT cosine verify.
@@ -256,15 +286,42 @@ def cosine_similar_pairs_lsh(
     defaults, 0.988 at the c=0.95 boundary and ->1.0 as c->1 (true near-dups
     agree on every plane sign). Measured recall is pinned in
     tests/test_similarity.py. The shuffle key is the (table, bucket) id —
-    the corpus never cross-joins."""
+    the corpus never cross-joins.
+
+    ``max_bucket_size`` is the hot-bucket skew guard (same shape as the
+    minhash one): a mass-duplicated vector puts all its copies in one bucket
+    of EVERY table and the self-join would emit O(copies^2) pairs. Buckets
+    over the cap switch to chain pairing ordered by the vector's FULL
+    bucket signature across all tables (then id), so identical/parallel
+    vectors sit adjacent and their chain edges verify at cosine ~1.0 —
+    bounded work, clusters stay connected for min-id dedup."""
+    from pyspark.sql import Window
+
     v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
-    cand = (
-        buckets.withColumnRenamed("id", "id_a")
-        .join(buckets.withColumnRenamed("id", "id_b"), ["t", "bucket"])
+    sized = buckets.join(
+        buckets.groupBy("t", "bucket").agg(F.count("*").alias("_bsz")),
+        ["t", "bucket"],
+    ).persist()
+    small = sized.where(F.col("_bsz") <= max_bucket_size)
+    pairs_small = (
+        small.withColumnRenamed("id", "id_a")
+        .join(small.select("t", "bucket", F.col("id").alias("id_b")), ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    bcols = [f"b{t}" for t in range(n_tables)]
+    w = Window.partitionBy("t", "bucket").orderBy(*bcols, "id")
+    pairs_big = (
+        sized.where(F.col("_bsz") > max_bucket_size)
+        .join(v.select("id", *bcols), "id")
+        .withColumn("_prev", F.lag("id").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.least("_prev", "id").alias("id_a"),
+            F.greatest("_prev", "id").alias("id_b"),
+        )
+    )
+    cand = pairs_small.unionByName(pairs_big).distinct()
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
@@ -343,15 +400,17 @@ def ann_topk_matmul(
             f"ann_topk_matmul index exceeds max_index_rows={max_index_rows}; "
             "a corpus-sized 'index' would OOM the driver — use lsh_bucketed_topk"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])  # dtype inferred: int64 or object (str ids)
+    dim = len(rows[0][1]) if rows else 0
+    mat = _vectors_matrix([r[1] for r in rows], dim)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat_n))
 
+    id_type = emb.schema[id_col].dataType  # passthrough: string ids work too
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("nbr_id", T.LongType()),
+            T.StructField("query_id", id_type),
+            T.StructField("nbr_id", id_type),
             T.StructField("cosine", T.DoubleType()),
             T.StructField("rk", T.IntegerType()),
         ]
@@ -362,8 +421,8 @@ def ann_topk_matmul(
         for pdf in batches:
             if pdf.empty:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q_ids = pdf[id_col].to_numpy()
+            q = _vectors_matrix(pdf[vec_col], mat_b.shape[1])
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = q @ mat_b.T  # (batch, index)
             out = {"query_id": [], "nbr_id": [], "cosine": [], "rk": []}
@@ -375,7 +434,7 @@ def ann_topk_matmul(
                 cand_cos = row[mask][order]
                 for rk, (nid, c) in enumerate(zip(cand_ids, cand_cos), start=1):
                     out["query_id"].append(q_ids[r])
-                    out["nbr_id"].append(int(nid))
+                    out["nbr_id"].append(nid.item() if hasattr(nid, "item") else nid)
                     # round half away from zero: matches Spark F.round and
                     # DuckDB round() (Python's round() is half-to-even)
                     c = float(c)
@@ -453,7 +512,7 @@ def _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe) -> DataF
 
     schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", emb.schema[id_col].dataType),  # passthrough
             T.StructField("v", T.ArrayType(T.DoubleType())),
             T.StructField("cell", T.IntegerType()),
             T.StructField("probes", T.ArrayType(T.IntegerType())),
@@ -467,7 +526,7 @@ def _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe) -> DataF
         for pdf in batches:
             if pdf.empty:
                 continue
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q = _vectors_matrix(pdf[vec_col], cen_n.shape[1])
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0.0] = 1.0
             sims = (q / qn) @ cen_n.T  # (batch, n_cells)
@@ -478,8 +537,10 @@ def _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe) -> DataF
                 probes.append([int(c) for c in order])
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "v": [r.tolist() for r in q],
+                    "id": pdf[id_col],
+                    # ORIGINAL vector (as float64) so downstream exact-cosine
+                    # matches the other paths even if hashing padded/truncated
+                    "v": [[float(x) for x in v] for v in pdf[vec_col]],
                     "cell": np.array(cell, dtype=np.int32),
                     "probes": probes,
                 }

@@ -113,7 +113,11 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     txt = F.coalesce(F.col(text_col), F.lit(""))
     head = F.substring(txt, 1, 400)
     cjk = F.regexp_count(head, F.lit("[一-鿿]"))
-    toks = F.filter(F.split(F.lower(txt), r"\s+"), lambda t: t != "")
+    # (?U): Java regex \s is ASCII-only by default, but the reference
+    # behavior (Python str.split) treats ALL Unicode whitespace (NBSP,
+    # ideographic space) as separators — without the flag, &nbsp;-joined
+    # words would hide stop-word hits and misclassify as 'und'
+    toks = F.filter(F.split(F.lower(txt), r"(?U)\s+"), lambda t: t != "")
     zero = F.struct(*[F.lit(0).alias(lang) for lang in langs])
 
     def step(acc, t):

@@ -76,10 +76,15 @@ def _parser_cache(spark: SparkSession, sf_dir: str, which: str):
         )
     bc = spark.sparkContext.broadcast(parser)
     if len(_PARSER_CACHE) >= 8:
-        # evict only dead-session entries (applicationId != current): live
-        # entries are hot and would be re-broadcast immediately on next use
+        # evict dead-session entries first (their broadcasts are garbage);
+        # if the cap is still exceeded within ONE long-lived application
+        # (e.g. a sweep over many sf dirs), fall back to oldest-first so the
+        # cache stays bounded either way
         app = spark.sparkContext.applicationId
-        for k in [k for k in _PARSER_CACHE if k[0] != app]:
+        stale = [k for k in _PARSER_CACHE if k[0] != app]
+        same_app = [k for k in _PARSER_CACHE if k[0] == app]
+        overflow = same_app[: max(0, len(_PARSER_CACHE) - len(stale) - 7)]
+        for k in stale + overflow:
             try:
                 _PARSER_CACHE.pop(k).unpersist()
             except Exception:
@@ -135,7 +140,10 @@ def _alias_frames(spark: SparkSession, sf_dir: str) -> dict:
             df.persist()
         if len(_FRAMES_CACHE) >= 8:
             app = spark.sparkContext.applicationId
-            for k in [k for k in _FRAMES_CACHE if k[0] != app]:
+            stale = [k for k in _FRAMES_CACHE if k[0] != app]
+            same_app = [k for k in _FRAMES_CACHE if k[0] == app]
+            overflow = same_app[: max(0, len(_FRAMES_CACHE) - len(stale) - 7)]
+            for k in stale + overflow:
                 for df in _FRAMES_CACHE.pop(k).values():
                     try:
                         df.unpersist()

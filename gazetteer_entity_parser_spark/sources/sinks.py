@@ -72,30 +72,39 @@ def committed_tokens(target_path: str) -> set[str]:
 _VERSION_RE = ".v-"
 
 
-def _version_dirs(target_path: str) -> list[str]:
+def _version_dirs(target_path: str, complete_only: bool = False) -> list[str]:
     """Existing version dirs for this store, oldest-to-newest (the version
     counter in the name is zero-padded, so lexicographic sort = creation
-    order)."""
+    order). ``complete_only`` keeps only versions carrying the
+    ``_nbuckets_`` marker — the LAST file written before a version is
+    eligible for publishing, so its presence certifies a complete version
+    (parquet data, hard-links, and commit tokens all precede it)."""
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     base = os.path.basename(target_path) + _VERSION_RE
     if not os.path.isdir(parent):
         return []
-    return sorted(
+    out = sorted(
         os.path.join(parent, d) for d in os.listdir(parent) if d.startswith(base)
     )
+    if complete_only:
+        out = [v for v in out if os.path.isdir(v) and _store_n_buckets(v) is not None]
+    return out
 
 
 def _recover_symlink(target_path: str) -> None:
-    """Crash recovery: if the target symlink is missing or broken but version
-    dirs exist, repoint it at the NEWEST version. Covers a crash between
-    version-dir creation and the symlink swap (nothing is lost: the old
-    version stays current) and, vestigially, old-scheme two-rename crashes."""
+    """Crash recovery: if the target symlink is missing or broken but
+    COMPLETE version dirs exist, repoint it at the newest complete one.
+    Covers a crash between version-dir creation and the symlink swap
+    (nothing is lost: the old version stays current). A torn half-written
+    version (crash mid-write, before its ``_nbuckets_`` completeness marker)
+    is never promoted — on a first-ever merge that crashed mid-write the
+    store correctly stays absent and the retry re-merges from scratch."""
     exists = os.path.exists(target_path)  # follows symlinks; False if broken
     if exists:
         return
     if os.path.islink(target_path):  # broken link
         os.unlink(target_path)
-    versions = _version_dirs(target_path)
+    versions = _version_dirs(target_path, complete_only=True)
     if versions:
         _swap_symlink(target_path, versions[-1])
 
@@ -159,19 +168,19 @@ def merge_into_parquet(
     if commit_token is not None and str(commit_token) in committed_tokens(target_path):
         return False
 
-    upd = updates.withColumn(
-        "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
-    )
     current_version = os.path.realpath(target_path) if os.path.exists(target_path) else None
     legacy_dir = current_version is not None and not os.path.islink(target_path)
 
     if current_version is not None:
         stored_n = _store_n_buckets(current_version)
-        if stored_n is not None and stored_n != n_buckets:
-            n_buckets = stored_n
-            upd = updates.withColumn(
-                "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
-            )
+        if stored_n is not None:
+            n_buckets = stored_n  # marker wins: bucketing is fixed at creation
+    # persist: the updates lineage (often a whole extraction pipeline in
+    # foreachBatch) is referenced by BOTH the touched-buckets collect and the
+    # merged write — without the boundary it would execute end-to-end twice
+    upd = updates.withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).cast("int")
+    ).persist()
     touched = sorted(
         r["bucket"] for r in upd.select("bucket").distinct().collect()
     )  # bounded by n_buckets rows
@@ -209,6 +218,7 @@ def merge_into_parquet(
 
     new_version = _next_version_path(target_path)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(new_version)
+    upd.unpersist()
 
     # hard-link untouched partitions from the current version (same inode ->
     # byte-identical, no data copy)
@@ -258,9 +268,21 @@ def merge_into(
 ) -> str:
     """Dispatch: Iceberg table name when the runtime is present, else parquet
     path. Returns which path was taken ('iceberg' | 'parquet').
-    ``commit_token``/``n_buckets`` apply to the parquet fallback (Iceberg
-    MERGE is transactional on its own)."""
+
+    ``commit_token`` is only implemented for the parquet fallback; Iceberg
+    MERGE is transactional but NOT idempotent for the additive weight update
+    (a replayed batch would double-count), so rather than silently dropping
+    the token this dispatcher refuses it — an Iceberg caller needing
+    at-least-once replay safety must carry a batch-id column and dedup in
+    the MERGE source (or consult its own commit log) instead."""
     if prefer_iceberg and not target.startswith("/") and iceberg_available(spark):
+        if commit_token is not None:
+            raise NotImplementedError(
+                "commit_token idempotence is implemented for the parquet store "
+                "only; for Iceberg, dedup replayed batches in the MERGE source "
+                "(e.g. a batch_id column) — a silent drop would double-count "
+                "additive weights on retry"
+            )
         merge_into_iceberg(spark, target, updates)
         return "iceberg"
     merge_into_parquet(spark, target, updates, commit_token=commit_token, n_buckets=n_buckets)

@@ -85,3 +85,11 @@ def test_components_random_graphs_match_union_find(spark):
             r["entity"]: r["component"] for r in connected_components(df).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_components_raise_on_exhausted_iterations(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="max_iters"):
+        connected_components(edges, max_iters=2)

@@ -145,3 +145,73 @@ def test_extract_empty_columns_list_raises_at_driver(spark):
     docs = spark.createDataFrame([("u", "tok1")], "url string, text string")
     with pytest.raises(ValueError, match="non-empty"):
         extract_mentions(docs, bc, columns=[])
+
+
+def test_embedding_lsh_hot_bucket_chain_guard(spark):
+    """Mass-duplicated vector (200 copies): the bucketed pair scan must emit
+    O(copies) chain candidates, not O(copies^2) — and min-id dedup must
+    still drop every copy except the most senior."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.dedup import (
+        embedding_near_dup_keepers,
+    )
+    from gazetteer_entity_parser_spark.operators.similarity import (
+        cosine_similar_pairs_lsh,
+    )
+
+    base = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]  # identical copies
+    base += [(1000, [4.0, -3.0, 2.0, -1.0]), (1001, [-1.0, 5.0, -2.0, 0.5])]
+    emb = spark.createDataFrame(base, "vec_id bigint, embedding array<float>")
+    pairs = cosine_similar_pairs_lsh(
+        emb, threshold=0.99, dim=4, max_bucket_size=10
+    ).collect()
+    # chain: <= (copies-1) * n_tables before distinct, == copies-1 after
+    assert len(pairs) == 199
+    assert all(r["cosine"] == 1.0 for r in pairs)
+    kept = {
+        r["vec_id"]
+        for r in embedding_near_dup_keepers(
+            emb, threshold=0.99, dim=4, max_bucket_size=10
+        ).collect()
+    }
+    assert kept == {0, 1000, 1001}
+
+
+def test_minhash_chain_orders_by_signature_not_id(spark):
+    """Two dup clusters whose members interleave by id, under capped
+    buckets: signature-ordered chaining keeps each cluster's members
+    adjacent (equal signatures sort together), so verified pairs connect
+    each cluster fully — every doc collapses to its cluster keeper."""
+    from gazetteer_entity_parser_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    text_x = " ".join(f"xx{j}" for j in range(30))
+    text_y = " ".join(f"yy{j}" for j in range(30))
+    rows = []
+    for i in range(40):  # interleave: even ids cluster X, odd ids cluster Y
+        rows.append((i, text_x if i % 2 == 0 else text_y))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup_pairs(
+            docs, n_shingle=2, threshold=0.9, max_bucket_size=5
+        ).collect()
+    }
+    # union-find: each cluster must come out fully connected
+    parent = {i: i for i in range(40)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        parent[find(a)] = find(b)
+    comps = {}
+    for i in range(40):
+        comps.setdefault(find(i), set()).add(i)
+    assert sorted(len(c) for c in comps.values()) == [20, 20]
+    assert all(len({i % 2 for i in c}) == 1 for c in comps.values())

@@ -290,3 +290,55 @@ def test_merge_migrates_legacy_unpartitioned_store(spark, tmp_path):
     assert merge_into_parquet(spark, target, batch, commit_token="m1", n_buckets=4)
     rows = {r["subj"]: r["weight"] for r in spark.read.parquet(target).collect()}
     assert rows == {"A": 5, "C": 2}
+
+
+def test_recovery_never_promotes_torn_version(spark, tmp_path):
+    """A version dir without its _nbuckets_ completeness marker (crash
+    mid-write) must never be promoted by recovery — on a first-ever merge
+    the store stays absent and the retry re-merges from scratch; on a later
+    merge the previous complete version stays current."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import (
+        committed_tokens,
+        merge_into_parquet,
+    )
+
+    target = str(tmp_path / "store")
+    batch = spark.createDataFrame(
+        [("A", "p", "B", 3, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    # simulate a torn FIRST merge: data written, no marker, no symlink
+    torn = f"{target}.v-000000-deadbeef"
+    batch.write.parquet(torn)
+    assert committed_tokens(target) == set()  # recovery must NOT promote torn
+    assert not os.path.exists(target)
+    # the retry merges cleanly and supersedes the orphan
+    assert merge_into_parquet(spark, target, batch, commit_token="0") is True
+    assert os.path.islink(target)
+    assert not os.path.exists(torn)  # orphan pruned
+    assert spark.read.parquet(target).collect()[0]["weight"] == 3
+
+    # simulate a torn LATER merge: orphan version newer than current
+    torn2 = f"{target}.v-999999-deadbeef"
+    batch.write.parquet(torn2)
+    os.unlink(target)  # crash also lost the symlink
+    assert committed_tokens(target) == {"0"}  # repointed to newest COMPLETE
+    assert spark.read.parquet(target).collect()[0]["weight"] == 3
+
+
+def test_merge_into_refuses_commit_token_on_iceberg(spark, monkeypatch):
+    import pytest as _pytest
+
+    from gazetteer_entity_parser_spark.sources import sinks
+
+    monkeypatch.setattr(sinks, "iceberg_available", lambda _s: True)
+    batch = spark.createDataFrame(
+        [("A", "p", "B", 3, 0, 1)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    with _pytest.raises(NotImplementedError, match="commit_token"):
+        sinks.merge_into(spark, "cat.db.triples", batch, commit_token="7")

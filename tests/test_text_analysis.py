@@ -87,3 +87,14 @@ def test_language_id_tie_breaks_alphabetically(spark):
     assert rows[1] == "de"  # en=1, de=1 -> de (sorted first at the max)
     assert rows[2] == "es"  # 'que' is in es AND fr -> es wins the tie
     assert rows[3] == "und"  # null text
+
+
+def test_language_id_unicode_whitespace(spark):
+    """NBSP-separated words (decoded &nbsp;) must still tokenize — Java \\s is
+    ASCII-only without (?U), which silently misclassified such docs as und."""
+    df = spark.createDataFrame(
+        [(1, "le chat est sur la table et il")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
+    assert rows[1] == "fr"
