@@ -127,6 +127,7 @@ class ParserBuilder:
 def get_parser_config(parser: Parser) -> dict:
     """Persisted metadata (reference: src/parser.rs:41-48, 574-582)."""
     reg = parser.registry
+    info = getattr(parser, "license_info", None)
     return {
         "version": ENGINE_VERSION,
         "parser_filename": GAZETTEER_FILENAME,
@@ -135,6 +136,7 @@ def get_parser_config(parser: Parser) -> dict:
         "edge_cases": sorted(reg.get_edge_cases()),
         "n_stop_words": reg.n_stop_words,
         "additional_stop_words": sorted(reg.get_additional_stop_words()),
+        "license_filename": info.filename if info is not None else None,
     }
 
 
@@ -172,8 +174,25 @@ def load_parser(folder: str) -> Parser:
         ev = registry.add_value(row["tokens"], row["resolved_value"], row["rank"])
         if ev is not None and row.get("is_injected"):
             registry.injected.add(ev)
-    registry.set_stop_words(
-        config.get("n_stop_words", 0), config.get("additional_stop_words", [])
-    )
+    if "stop_words" in config:
+        # restore the PERSISTED set verbatim: recomputing top-n here can flip
+        # a doc-frequency tie when the dumped parser's interning order (e.g.
+        # after prepend_values) differs from this rank-ordered rebuild — the
+        # reloaded parser must resolve exactly like the one dumped
+        registry.restore_stop_words(
+            config.get("n_stop_words", 0),
+            config["stop_words"],
+            config.get("additional_stop_words", []),
+        )
+    else:  # pre-stop-words metadata (never written by this engine; defensive)
+        registry.set_stop_words(
+            config.get("n_stop_words", 0), config.get("additional_stop_words", [])
+        )
     parser = Parser(registry, f32(config["threshold"]))
+    lic = config.get("license_filename")
+    if lic:
+        lic_path = os.path.join(folder, lic)
+        if os.path.exists(lic_path):
+            with open(lic_path, encoding="utf-8") as fh:
+                parser.license_info = LicenseInfo(lic, fh.read())
     return parser

@@ -155,6 +155,40 @@ class Registry:
             if all(t in sw for t in toks)
         )
 
+    def restore_stop_words(
+        self,
+        n_stop_words: int,
+        stop_words: list[str],
+        additional_stop_words: list[str],
+    ) -> None:
+        """Restore a PERSISTED stop-word set verbatim instead of recomputing
+        the top-n: after prepend/injection the interning order (and therefore
+        the doc-frequency tie-break) of a rebuilt registry can differ from
+        the live parser's, so a load that recomputes may flip a tie and
+        resolve differently than the parser that was dumped. The persisted
+        set is the behavior contract; edge cases are re-derived from it
+        (deterministic function of the set)."""
+        self.n_stop_words = n_stop_words
+        self.additional_stop_words = []
+        for word in additional_stop_words:
+            tid = self._intern_token(word)
+            if tid >= len(self.postings):
+                self.postings.append([])
+            self.additional_stop_words.append(tid)
+        ids = []
+        for word in stop_words:
+            tid = self._intern_token(word)
+            if tid >= len(self.postings):
+                self.postings.append([])
+            ids.append(tid)
+        self.stop_words = frozenset(ids)
+        sw = self.stop_words
+        self.edge_cases = frozenset(
+            ev
+            for ev, toks in enumerate(self.entity_tokens)
+            if all(t in sw for t in toks)
+        )
+
     # -------------------------------------------------------------- injection
 
     def inject_new_values(
@@ -226,10 +260,9 @@ class Registry:
         return entity_id in self.edge_cases
 
     def token_string(self, token_idx: int) -> str:
-        for tok, tid in self.token_ids.items():
-            if tid == token_idx:
-                return tok
-        raise KeyError(token_idx)
+        # cached inverse map: a linear scan here made injection
+        # O(|additional stop words| * |vocabulary|)
+        return self._id_to_token()[token_idx]
 
     def get_resolved_value(self, entity_id: int) -> tuple[str, str]:
         """(resolved, raw_value) where raw_value is the interned tokens

@@ -106,6 +106,10 @@ def iter_windows(
                 base_tok += len(chunk)
 
 
+# begin/end/tok_idx are int32 BY CONSTRUCTION, not by hope: a Spark/Arrow
+# string cell is itself capped below 2^31 bytes (and chars <= bytes), so no
+# representable document can overflow a char offset; a larger page must be
+# pre-chunked upstream of the scan anyway.
 def extract_mentions(
     docs: DataFrame,
     parser_broadcast,

@@ -165,8 +165,20 @@ def build_registry_distributed(
             .collect()
         )
         if len(probe) <= small_gazetteer_rows:
+            # mirror the DataFrame path exactly: NULL/whitespace-only
+            # raw_value rows tokenize to [] and are filtered there
+            # (F.size(tokens) > 0) — without this the probe path crashed on
+            # inputs the big path silently accepts
+            probe = [r for r in probe if r["raw_value"] and tokens_only(r["raw_value"])]
             # same total order as build_index_frames' entity-id window
-            probe.sort(key=lambda r: (r["rank"], r["resolved_value"], r["raw_value"]))
+            # (Spark asc = NULLS FIRST, hence the null-safe key)
+            probe.sort(
+                key=lambda r: (
+                    r["rank"],
+                    (r["resolved_value"] is not None, r["resolved_value"] or ""),
+                    r["raw_value"],
+                )
+            )
             reg = Registry()
             for r in probe:
                 reg.add_raw_value(r["raw_value"], r["resolved_value"], r["rank"])

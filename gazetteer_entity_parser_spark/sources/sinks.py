@@ -184,6 +184,14 @@ def merge_into_parquet(
     touched = sorted(
         r["bucket"] for r in upd.select("bucket").distinct().collect()
     )  # bounded by n_buckets rows
+    if not touched and current_version is None:
+        # empty batch onto a non-existent store: publishing would create a
+        # version dir with ZERO parquet files, which every later read fails
+        # to infer a schema from — the store would be permanently poisoned
+        # (and the commit token would mark the batch done). Nothing to merge
+        # and nothing worth recording: a replay of an empty batch is a no-op.
+        upd.unpersist()
+        return True
 
     if current_version is not None and not legacy_dir:
         current = spark.read.parquet(current_version)
@@ -258,6 +266,19 @@ def merge_into_parquet(
     return True
 
 
+def is_table_identifier(target: str) -> bool:
+    """True iff ``target`` is a dotted SQL identifier (catalog.db.table) and
+    not an existing filesystem entry — the only shape eligible for the
+    Iceberg MERGE route. Path-shaped targets ('/abs', 'out/triples', './x')
+    always go to the parquet store."""
+    import re
+
+    return (
+        re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", target) is not None
+        and not os.path.exists(target)
+    )
+
+
 def merge_into(
     spark: SparkSession,
     target: str,
@@ -274,8 +295,14 @@ def merge_into(
     (a replayed batch would double-count), so rather than silently dropping
     the token this dispatcher refuses it — an Iceberg caller needing
     at-least-once replay safety must carry a batch-id column and dedup in
-    the MERGE source (or consult its own commit log) instead."""
-    if prefer_iceberg and not target.startswith("/") and iceberg_available(spark):
+    the MERGE source (or consult its own commit log) instead.
+
+    Routing: a target is treated as an Iceberg TABLE only when it parses as
+    a dotted SQL identifier (see :func:`is_table_identifier`); anything
+    path-shaped (separator, leading dot/slash, existing filesystem entry)
+    goes to parquet — a relative path like 'out/triples' must never reach a
+    SQL MERGE statement."""
+    if prefer_iceberg and is_table_identifier(target) and iceberg_available(spark):
         if commit_token is not None:
             raise NotImplementedError(
                 "commit_token idempotence is implemented for the parquet store "

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import extract_mentions
-from ..operators.triples import canonicalize_triples, cooccurrence_triples
+from ..operators.triples import canonicalize_triples, cooccurrence_triples_grouped
 from ..sources.sinks import merge_into_parquet
 from ..sources.webpages import WEBPAGE_SCHEMA
 
@@ -53,13 +53,23 @@ def start_triples_stream(
     carries the batch_id as a commit token: a retried batch whose merge
     already landed is skipped instead of double-counting its additive
     weights. Combined with the deterministic kernel this yields effectively
-    exactly-once triple totals."""
+    exactly-once triple totals.
+
+    Plan shape per batch: the mention UDF projects ONLY the five columns the
+    triples rollup needs (Catalyst cannot prune through mapInPandas — the
+    full-width stream paid matched_value slicing + alternatives + extra
+    Arrow transfer per batch), and the pair expansion is the GROUPED
+    formulation (one shuffle; the self-join re-executed the extraction
+    lineage once per join side)."""
     mentions = streaming_mentions(
-        pages_stream, parser_broadcast, window_tokens=window_tokens
+        pages_stream,
+        parser_broadcast,
+        window_tokens=window_tokens,
+        columns=["url", "sent_idx", "tok_idx", "resolved", "rank"],
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        canonical = canonicalize_triples(cooccurrence_triples(batch_df))
+        canonical = canonicalize_triples(cooccurrence_triples_grouped(batch_df))
         merge_into_parquet(spark, triples_path, canonical, commit_token=str(batch_id))
 
     return (

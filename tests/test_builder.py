@@ -121,3 +121,65 @@ def test_round_trip_preserves_injection(tmp_path):
         "The Rolling Stones",
         "The Rolling Stones",
     ]
+
+
+def test_load_restores_persisted_stop_words_verbatim(tmp_path):
+    """load_parser must restore the dumped stop-word SET, not recompute the
+    top-n: a rebuilt registry's interning order (e.g. after prepend) can
+    flip a doc-frequency tie and make the reloaded parser resolve
+    differently than the one that was dumped."""
+    from gazetteer_entity_parser_spark.kernel.builder import (
+        ParserBuilder,
+        dump_parser,
+        load_parser,
+    )
+
+    parser = (
+        ParserBuilder()
+        .set_gazetteer([("the stones", "A"), ("the who", "B"), ("who else", "C")])
+        .n_stop_words(1)
+        .build()
+    )
+    # simulate a tie-divergent live set: force the stop word to 'who'
+    # (doc-frequency-tied with 'the' at 2 entities each)
+    reg = parser.registry
+    who = reg.get_token_idx("who")
+    reg.stop_words = frozenset({who})
+    reg.edge_cases = frozenset(
+        ev for ev, toks in enumerate(reg.entity_tokens)
+        if all(t in reg.stop_words for t in toks)
+    )
+    assert reg.get_stop_words() == {"who"}
+
+    folder = str(tmp_path / "dump")
+    dump_parser(parser, folder)
+    reloaded = load_parser(folder)
+    # a top-n recompute would pick 'the' (earlier-interned tie-break);
+    # the persisted set must win
+    assert reloaded.registry.get_stop_words() == {"who"}
+
+
+def test_dump_load_roundtrips_license(tmp_path):
+    from gazetteer_entity_parser_spark.kernel.builder import (
+        LicenseInfo,
+        ParserBuilder,
+        dump_parser,
+        load_parser,
+    )
+
+    parser = (
+        ParserBuilder()
+        .set_gazetteer([("a b", "AB")])
+        .set_license_info(LicenseInfo("LICENSE", "MIT-ish text"))
+        .build()
+    )
+    folder = str(tmp_path / "dump")
+    dump_parser(parser, folder)
+    p2 = load_parser(folder)
+    assert p2.license_info is not None
+    assert p2.license_info.filename == "LICENSE"
+    assert p2.license_info.content == "MIT-ish text"
+    # and a second dump carries it forward (was silently lost before)
+    folder2 = str(tmp_path / "dump2")
+    dump_parser(p2, folder2)
+    assert (tmp_path / "dump2" / "LICENSE").read_text() == "MIT-ish text"

@@ -85,3 +85,19 @@ def test_distributed_parser_runs_goldens(spark, gaz_df):
 def test_distributed_build_rejects_bad_threshold(spark, gaz_df):
     with pytest.raises(ValueError):
         build_parser_distributed(gaz_df, threshold=1.2)
+
+
+def test_null_raw_value_rows_equal_on_both_build_paths(spark):
+    """NULL/whitespace raw_value rows are filtered by the DataFrame path
+    (tokenize -> size > 0); the small-gazetteer probe path must filter them
+    identically instead of crashing on a None sort key."""
+    from gazetteer_entity_parser_spark.sources.builder_job import (
+        build_registry_distributed,
+    )
+
+    rows = [("alpha beta", "A", 0), (None, "NULLROW", 1), ("  ", "WS", 2), ("gamma", "C", 3)]
+    gaz = spark.createDataFrame(rows, "raw_value string, resolved_value string, rank bigint")
+    fast = build_registry_distributed(gaz, n_stop_words=1)
+    slow = build_registry_distributed(gaz, n_stop_words=1, small_gazetteer_rows=0)
+    assert fast == slow
+    assert fast.resolved == ["A", "C"]

@@ -342,3 +342,52 @@ def test_merge_into_refuses_commit_token_on_iceberg(spark, monkeypatch):
     )
     with _pytest.raises(NotImplementedError, match="commit_token"):
         sinks.merge_into(spark, "cat.db.triples", batch, commit_token="7")
+
+
+def test_empty_first_merge_does_not_poison_store(spark, tmp_path):
+    """An empty first batch must not publish a data-less version dir (which
+    every later read would fail to infer a schema from)."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import merge_into_parquet
+
+    target = str(tmp_path / "store")
+    schema = (
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint"
+    )
+    empty = spark.createDataFrame([], schema)
+    assert merge_into_parquet(spark, target, empty, commit_token="0") is True
+    assert not os.path.exists(target)  # nothing published, nothing poisoned
+
+    batch = spark.createDataFrame([("A", "p", "B", 3, 0, 1)], schema)
+    assert merge_into_parquet(spark, target, batch, commit_token="1") is True
+    assert spark.read.parquet(target).collect()[0]["weight"] == 3
+    # an empty batch onto an EXISTING store still records its token and
+    # keeps every partition readable (hard-linked)
+    assert merge_into_parquet(spark, target, empty, commit_token="2") is True
+    assert merge_into_parquet(spark, target, empty, commit_token="2") is False
+    assert spark.read.parquet(target).collect()[0]["weight"] == 3
+
+
+def test_merge_into_table_identifier_routing(tmp_path):
+    """Path-shaped targets (separators, dots-as-paths, existing entries)
+    must never reach the Iceberg SQL MERGE route; only dotted identifiers
+    qualify."""
+    from gazetteer_entity_parser_spark.sources.sinks import is_table_identifier
+
+    assert is_table_identifier("cat.db.triples")
+    assert is_table_identifier("triples")
+    assert not is_table_identifier("out/triples")  # relative path
+    assert not is_table_identifier("/abs/triples")
+    assert not is_table_identifier("./triples")
+    assert not is_table_identifier("db.triples ")  # trailing junk
+    existing = tmp_path / "already_here"
+    existing.mkdir()
+    import os
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert not is_table_identifier("already_here")  # fs entry wins
+    finally:
+        os.chdir(cwd)
