@@ -7,12 +7,12 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 The engine lives in ``gazetteer_entity_parser_spark/`` (see SURVEY.md §2 and
 COVERAGE.md for the operator inventory each query covers). All queries are
-oracle-backed except two that are genuinely not SQL-expressible —
-``sim_ann_lsh_topk`` (approximate by design; recall at the SHIPPED
-parameters measured and pinned at 0.4433 in
-tests/test_similarity.py::test_lsh_topk_driver_params_recall_pinned) and
-``dedup_simhash`` (byte-level FNV-1a fingerprints; pigeonhole + recall
-pinned in tests/test_dedup.py).
+oracle-backed except ``sim_ann_lsh_topk``, which is approximate by design
+(recall at the SHIPPED parameters measured and pinned at 0.4433 in
+tests/test_similarity.py::test_lsh_topk_driver_params_recall_pinned).
+``dedup_simhash`` gained an exact closed-form oracle: the pigeonhole join is
+exact for hamming <= 3, and the FNV-1a fingerprint fold is expressed in
+DuckDB with recursive-CTE HUGEINT mod-2^64 arithmetic.
 """
 
 from __future__ import annotations

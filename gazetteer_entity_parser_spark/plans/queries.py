@@ -866,6 +866,61 @@ ORACLES: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = id_b
         WHERE shared / (na.n + nb.n - shared) >= 0.5
     """,
+    # exact closed-form SimHash oracle: the 4x16-bit pigeonhole join is EXACT
+    # for hamming <= 3 (a pair differing in <= 3 bits agrees on >= 1 of 4
+    # chunks), so the Spark result equals brute-force hamming over the same
+    # fingerprints — the only engine-side piece DuckDB must replicate is the
+    # fingerprint itself. FNV-1a 64-bit is folded byte-by-byte in a recursive
+    # CTE with HUGEINT mod-2^64 arithmetic (xor only touches the low byte:
+    # h XOR b == h - h%256 + xor(h%256, b)); per-occurrence +1/-1 bit votes
+    # and the little-endian pack (bit j = h>>j & 1) mirror
+    # operators/dedup.py:simhash_fingerprints. ascii(substr(tok,i,1)) equals
+    # the utf-8 byte ONLY for ASCII corpora — verified: the test tables
+    # contain zero non-ASCII chars and zero leading/trailing/double spaces
+    # (so string_split(' ') == Python str.split()).
+    "dedup_simhash": """
+        WITH RECURSIVE near AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1' AS text
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM near
+        ),
+        utoks AS (SELECT DISTINCT tok FROM toks WHERE tok <> ''),
+        fnv AS (
+            SELECT tok, 0 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h
+            FROM utoks
+            UNION ALL
+            SELECT tok, pos + 1,
+                   ((h - (h % 256)
+                     + xor(CAST(h % 256 AS BIGINT), ascii(substr(tok, pos + 1, 1))))
+                    * 1099511628211) % 18446744073709551616
+            FROM fnv WHERE pos < length(tok)
+        ),
+        thash AS (SELECT tok, h FROM fnv WHERE pos = length(tok)),
+        pow2 AS (
+            SELECT 0 AS j, CAST(1 AS HUGEINT) AS p
+            UNION ALL
+            SELECT j + 1, p * 2 FROM pow2 WHERE j < 63
+        ),
+        votes AS (
+            SELECT t.doc_id, b.j, b.p,
+                   SUM(CASE WHEN (th.h // b.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+            FROM toks t JOIN thash th USING (tok) CROSS JOIN pow2 b
+            GROUP BY 1, 2, 3
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST(COALESCE(SUM(CASE WHEN v > 0 THEN p END), 0) AS UBIGINT) AS f
+            FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+    """,
     # min-id embedding dedup: keep vectors with no lower-id neighbor at
     # cosine >= 0.95; injected copies are 1.01-scaled (direction preserved,
     # double-multiply-then-float32-round is IEEE-identical in DuckDB)
@@ -1229,6 +1284,10 @@ def q_dedup_clusters_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """Oracle-backed (exact): the 4x16-bit pigeonhole join is exhaustive for
+    hamming <= 3, so this equals brute-force hamming over the fingerprints;
+    the DuckDB oracle replicates the FNV-1a fingerprint fold itself (see the
+    ORACLES entry)."""
     from ..operators.dedup import simhash_near_duplicates
 
     return simhash_near_duplicates(_docs_with_near_dups(spark, sf_dir), max_hamming=3)
