@@ -154,3 +154,38 @@ def mention_rate_per_window(
             "n_mentions",
         )
     )
+
+
+def streaming_dedup_exact(
+    pages: DataFrame,
+    content_cols: tuple[str, ...] = ("text",),
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST occurrence of each
+    distinct content digest across micro-batches, via Spark's built-in
+    stateful dropDuplicates — the streaming counterpart of
+    :func:`..operators.dedup.exact_duplicates`'s keeper selection, for
+    ingest-time dedup (a re-crawled page is dropped the moment it arrives
+    instead of by a later batch job).
+
+    Scale shape: state is ONE sha2-256 digest row per distinct document,
+    hash-partitioned across executors by the state store (the full corpus
+    bytes never enter state), and lookups ride the digest shuffle the
+    operator needs anyway. Unbounded-state caveat: without a watermark the
+    state grows with |distinct docs| forever; pass ``event_time_col`` +
+    ``watermark`` to switch to ``dropDuplicatesWithinWatermark`` (Spark 3.5+)
+    which evicts digests older than the watermark — the right mode when
+    re-crawls cluster in time. Digest collisions: sha2-256, negligible.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256).alias("_digest")
+    out = pages.select("*", digest)
+    if watermark is not None:
+        if event_time_col is None:
+            raise ValueError("watermark requires event_time_col")
+        return (
+            out.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["_digest"])
+            .drop("_digest")
+        )
+    return out.dropDuplicates(["_digest"]).drop("_digest")

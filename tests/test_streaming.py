@@ -391,3 +391,74 @@ def test_merge_into_table_identifier_routing(tmp_path):
         assert not is_table_identifier("already_here")  # fs entry wins
     finally:
         os.chdir(cwd)
+
+
+def test_streaming_dedup_exact_equals_batch(spark, pages, tmp_path):
+    """Stateful streaming dedup must keep exactly one row per distinct
+    content digest across micro-batch boundaries (a re-crawl arriving in a
+    LATER micro-batch is the case plain per-batch distinct would miss)."""
+    from gazetteer_entity_parser_spark.streaming.stream import streaming_dedup_exact
+
+    # re-crawls: every 3rd page again under a different url, forced into
+    # separate files so originals and re-crawls land in different batches
+    recrawls = (
+        pages.where(F.pmod(F.xxhash64("url"), F.lit(3)) == 0)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?recrawl")))
+    )
+    input_dir = str(tmp_path / "pages_in")
+    pages.repartition(3).write.parquet(input_dir)
+    recrawls.repartition(2).write.mode("append").parquet(input_dir)
+
+    stream = read_webpage_stream(spark, input_dir, max_files=1)
+    out_dir = str(tmp_path / "deduped")
+    q = (
+        streaming_dedup_exact(stream, content_cols=("text",))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    n_distinct_texts = pages.select("text").distinct().count()
+    assert got.count() == n_distinct_texts  # one keeper per distinct text
+    assert got.select("text").distinct().count() == n_distinct_texts
+    # keepers cover exactly the batch-distinct text set
+    assert (
+        got.select("text").exceptAll(pages.select("text").distinct()).count() == 0
+    )
+
+
+def test_streaming_dedup_watermark_mode(spark, pages, tmp_path):
+    """Watermarked variant (bounded state): same-timestamp duplicates are
+    inside every watermark window, so the full corpus still dedups here;
+    the mode exists to EVICT digests older than the watermark at scale."""
+    from gazetteer_entity_parser_spark.streaming.stream import streaming_dedup_exact
+
+    input_dir = str(tmp_path / "pages_in")
+    pages.unionByName(pages).repartition(4).write.parquet(input_dir)
+    stream = read_webpage_stream(spark, input_dir, max_files=2)
+    out_dir = str(tmp_path / "deduped")
+    q = (
+        streaming_dedup_exact(
+            stream, content_cols=("text",),
+            event_time_col="warc_ts", watermark="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (
+        spark.read.parquet(out_dir).count()
+        == pages.select("text").distinct().count()
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="event_time_col"):
+        streaming_dedup_exact(stream, watermark="1 hour")
