@@ -1,8 +1,10 @@
 """Text-analysis operators for training-data pipelines: language ID, quality
-scoring, token counting, document fingerprinting.
+scoring, token counting, document fingerprinting, repetition signals, and
+PII redaction.
 
-All four are pure built-in expressions (whole-stage codegen,
-SQL-oracle-able) — zero Python in the hot path."""
+All are pure built-in expressions (whole-stage codegen, SQL-oracle-able) —
+zero Python in the hot path; only the repetition top-2-gram mode shuffles
+(relationally, keyed by doc id)."""
 
 from __future__ import annotations
 
@@ -142,3 +144,97 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         cjk.cast("double") > F.length(head) * F.lit(0.2), F.lit("zh")
     ).otherwise(pick)
     return docs.select(F.col(id_col), lang_expr.alias("predicted_lang"))
+
+
+# ------------------------------------------------------------- repetition
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-token
+    fraction, duplicate-2-gram fraction, and the fraction of all 2-grams
+    taken by the single most frequent 2-gram (boilerplate/spam detector —
+    'buy now buy now buy now' scores ~1.0 on the last one).
+
+    Scale shape: the duplicate fractions are per-row array expressions (no
+    shuffle); the top-2-gram mode needs a per-(doc, gram) count, done
+    relationally — explode -> two map-side-combinable aggregations keyed by
+    doc — instead of an O(n_grams^2) per-row higher-order-function scan.
+    Both shuffles are keyed by doc id (or its supersets), so the operator
+    parallelizes by document with no hot keys."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("\x1f"), b),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n_toks.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        grams.alias("grams"),
+    )
+    per_doc = (
+        base.select("id", F.explode("grams").alias("gram"))
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    joined = base.drop("grams").join(per_doc, "id", "left")
+    dup_tok = F.when(
+        F.col("n_tokens") > 0,
+        1 - F.col("n_distinct_tokens") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    dup_gram = F.when(
+        F.col("n_grams") > 0, 1 - F.col("n_distinct_grams") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    top_gram = F.when(
+        F.col("n_grams") > 0, F.col("top_cnt") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(dup_gram, 6).alias("dup_2gram_frac"),
+        F.round(top_gram, 6).alias("top_2gram_frac"),
+    )
+
+
+# -------------------------------------------------------------- PII redaction
+
+# dialect-portable patterns (identical semantics in Java regex and RE2, so
+# the DuckDB oracle can assert the exact redacted strings)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / simple phone numbers with typed
+    placeholders and count each kind — the standard pre-training scrub pass.
+    Pure regexp built-ins (whole-stage codegen, one projection, no shuffle);
+    order matters: emails first (their domains would otherwise be chewed by
+    the IP pattern's digit runs), then IPs, then phones."""
+    txt = F.col(text_col)
+    n_emails = F.regexp_count(txt, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE))
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )

@@ -1126,6 +1126,84 @@ ORACLES: dict[str, str] = {
                     ELSE 'fr' END AS predicted_lang
         FROM hits
     """,
+    # duplicate fractions are per-row list math; the top-2-gram mode is the
+    # same relational shape as the Spark side (lead() 2-grams -> per-(doc,
+    # gram) counts -> per-doc sum/count/max); int/int division is double in
+    # both engines
+    "text_repetition": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, tok || chr(31) || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS g
+            FROM (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+                  FROM base)
+        ),
+        gc AS (
+            SELECT doc_id, g, count(*) AS cnt FROM grams WHERE g IS NOT NULL GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct_grams,
+                   max(cnt) AS top_cnt
+            FROM gc GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(len(b.toks) AS INT) AS n_tokens,
+               round(CASE WHEN len(b.toks) > 0
+                          THEN 1 - len(list_distinct(b.toks)) / len(b.toks)
+                          ELSE 0.0 END, 6) AS dup_token_frac,
+               round(CASE WHEN p.n_grams > 0
+                          THEN 1 - p.n_distinct_grams / p.n_grams
+                          ELSE 0.0 END, 6) AS dup_2gram_frac,
+               round(CASE WHEN p.n_grams > 0
+                          THEN p.top_cnt / p.n_grams
+                          ELSE 0.0 END, 6) AS top_2gram_frac
+        FROM base b LEFT JOIN per p USING (doc_id)
+    """,
+    # counts are taken on the same staged strings the replacements see
+    # (emails first — their domains would otherwise feed the IP pattern —
+    # then IPs, then phones); DuckDB regexp_replace needs the 'g' flag to
+    # match Spark's replace-all
+    "text_redact_pii": """
+        WITH pii AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com ip 10.0.0.'
+                             || CAST(doc_id % 256 AS VARCHAR)
+                             || ' tel +1 555-123-4567'
+                        ELSE text END AS text
+            FROM documents
+        ),
+        staged AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS after_email
+            FROM pii
+        ),
+        staged2 AS (
+            SELECT *,
+                   regexp_replace(after_email,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g') AS after_ip
+            FROM staged
+        )
+        SELECT doc_id,
+               regexp_replace(after_ip, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
+                              '<PHONE>', 'g') AS redacted_text,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                    AS n_emails,
+               CAST(len(regexp_extract_all(after_email,
+                    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT)
+                    AS n_ips,
+               CAST(len(regexp_extract_all(after_ip,
+                    '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS INT) AS n_phones
+        FROM staged2
+    """,
     "media_feature_summary": """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CASE CAST(doc_id % 3 AS INT)
@@ -1433,6 +1511,42 @@ def q_text_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals — the 31-word synthetic vocabulary
+    makes every doc naturally repetitive, so the fractions are non-trivial
+    on the base corpus."""
+    from ..operators.text_analysis import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def _docs_with_pii(spark, sf_dir):
+    """Deterministic PII-injected corpus: every 7th doc gains an email, an
+    IPv4, and a phone number (doc_id-derived, so both engines synthesize
+    byte-identical strings)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ip 10.0.0."),
+                F.pmod("doc_id", F.lit(256)).cast("string"),
+                F.lit(" tel +1 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_text_redact_pii(spark, sf_dir):
+    from ..operators.text_analysis import redact_pii
+
+    return redact_pii(_docs_with_pii(spark, sf_dir))
+
+
 def q_media_feature_summary(spark, sf_dir):
     from ..operators.multimodal import extract_media_features, synthesize_media
 
@@ -1525,6 +1639,8 @@ QUERIES = {
     "text_quality_scores": q_text_quality_scores,
     "text_fingerprint": q_text_fingerprint,
     "text_language_id": q_text_language_id,
+    "text_repetition": q_text_repetition,
+    "text_redact_pii": q_text_redact_pii,
     "media_feature_summary": q_media_feature_summary,
     "media_features_full": q_media_features_full,
     "media_resize": q_media_resize,

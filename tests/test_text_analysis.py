@@ -98,3 +98,67 @@ def test_language_id_unicode_whitespace(spark):
     )
     rows = {r["doc_id"]: r["predicted_lang"] for r in language_id(df).collect()}
     assert rows[1] == "fr"
+
+
+def test_repetition_signals_spammy_doc(spark):
+    from gazetteer_entity_parser_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),  # 8 toks, 2 distinct
+            (2, "all words here are fully distinct"),
+            (3, "x"),  # single token: no 2-grams
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 8
+    assert r1["dup_token_frac"] == 0.75  # 1 - 2/8
+    # 7 bigrams: 'buy now' x4, 'now buy' x3 -> 2 distinct, top = 4/7
+    assert r1["dup_2gram_frac"] == round(1 - 2 / 7, 6)
+    assert r1["top_2gram_frac"] == round(4 / 7, 6)
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == 0.0
+    assert r2["dup_2gram_frac"] == 0.0
+    assert r2["top_2gram_frac"] == 0.2  # 5 distinct bigrams, each 1/5
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top_2gram_frac"] == 0.0
+    assert rows[4]["n_tokens"] == 0 and rows[4]["dup_token_frac"] == 0.0
+
+
+def test_redact_pii_kinds_and_order(spark):
+    """Emails must be redacted before IPs (an email's dotted domain with
+    digits would otherwise feed the IP pattern) and counts must reflect the
+    staged strings."""
+    from gazetteer_entity_parser_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b99@host9.example.org now"),
+            (2, "server at 10.0.255.7 port"),
+            (3, "call +1 555-123-4567 or 555 987 6543"),
+            (4, "clean text no pii"),
+            (5, "x@y.io and 1.2.3.4 and 555-000-1111"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["redacted_text"] == "mail <EMAIL> now"
+    assert (rows[1]["n_emails"], rows[1]["n_ips"], rows[1]["n_phones"]) == (1, 0, 0)
+    assert rows[2]["redacted_text"] == "server at <IP> port"
+    assert rows[3]["redacted_text"] == "call +1 <PHONE> or <PHONE>"
+    assert rows[3]["n_phones"] == 2
+    assert rows[4]["redacted_text"] == "clean text no pii"
+    assert rows[5]["redacted_text"] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_redact_pii_pure_codegen_plan(spark):
+    from gazetteer_entity_parser_spark.operators.text_analysis import redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id bigint, text string")
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, node
