@@ -32,6 +32,25 @@ class LicenseInfo:
     content: str
 
 
+def _validate_license_filename(name: str) -> str:
+    """The license sidecar shares the dump folder with metadata.json and
+    gazetteer.json: a colliding name would silently clobber them (the
+    license is written last), and a path-separator/'..' name would escape
+    the folder on load — reject both at the boundary."""
+    if (
+        not name
+        or "/" in name
+        or "\\" in name
+        or name in (os.curdir, os.pardir)
+        or name in (METADATA_FILENAME, GAZETTEER_FILENAME)
+    ):
+        raise ValueError(
+            f"license filename {name!r} must be a bare filename distinct "
+            f"from {METADATA_FILENAME!r} and {GAZETTEER_FILENAME!r}"
+        )
+    return name
+
+
 @dataclass
 class ParserBuilder:
     """Fluent config; defaults match the reference
@@ -144,6 +163,9 @@ def dump_parser(parser: Parser, folder: str) -> None:
     """Sink: metadata.json + full registered gazetteer rows + optional
     license sidecar (reference: src/parser.rs:173-199). The gazetteer rows —
     not the index — are the persisted truth; load rebuilds the index."""
+    info = getattr(parser, "license_info", None)
+    if info is not None:  # validate before creating anything on disk
+        _validate_license_filename(info.filename)
     os.makedirs(folder, exist_ok=False)
     config = get_parser_config(parser)
     with open(os.path.join(folder, METADATA_FILENAME), "w", encoding="utf-8") as fh:
@@ -156,7 +178,8 @@ def dump_parser(parser: Parser, folder: str) -> None:
         json.dump(rows, fh)
     info = getattr(parser, "license_info", None)
     if info is not None:
-        with open(os.path.join(folder, info.filename), "w", encoding="utf-8") as fh:
+        name = _validate_license_filename(info.filename)
+        with open(os.path.join(folder, name), "w", encoding="utf-8") as fh:
             fh.write(info.content)
 
 
@@ -191,7 +214,7 @@ def load_parser(folder: str) -> Parser:
     parser = Parser(registry, f32(config["threshold"]))
     lic = config.get("license_filename")
     if lic:
-        lic_path = os.path.join(folder, lic)
+        lic_path = os.path.join(folder, _validate_license_filename(lic))
         if os.path.exists(lic_path):
             with open(lic_path, encoding="utf-8") as fh:
                 parser.license_info = LicenseInfo(lic, fh.read())

@@ -124,36 +124,45 @@ class Registry:
 
     # ------------------------------------------------------------- stop words
 
-    def set_stop_words(
-        self, n_stop_words: int, additional_stop_words: list[str] | None = None
-    ) -> None:
-        """Intern additional stop words (even if absent from the gazetteer —
-        they get an empty postings list) then recompute the top-n set
-        (reference: src/parser_registry.rs:118-139)."""
-        self.additional_stop_words = []
-        for word in additional_stop_words or []:
-            tid = self._intern_token(word)
-            if tid >= len(self.postings):
-                self.postings.append([])
-            self.additional_stop_words.append(tid)
-        self.set_top_stop_words(n_stop_words)
+    def _intern_word(self, word: str) -> int:
+        """Intern a word that may be absent from the gazetteer — such tokens
+        get an empty postings list so every tid indexes postings safely."""
+        tid = self._intern_token(word)
+        if tid >= len(self.postings):
+            self.postings.append([])
+        return tid
 
-    def set_top_stop_words(self, n_stop_words: int) -> None:
-        """Stop words = top-n tokens by number of distinct entities containing
-        them, ties broken by lower token id (Rust stable sort on -count,
-        reference: src/parser_registry.rs:141-157), union the additional
-        words. Edge cases = entities all of whose tokens are stop words
+    def _recompute_edge_cases(self) -> None:
+        """Edge cases = entities all of whose tokens are stop words — a
+        deterministic function of the current stop-word set
         (reference: src/parser_registry.rs:159-166)."""
-        self.n_stop_words = n_stop_words
-        order = sorted(range(len(self.postings)), key=lambda tid: -len(self.postings[tid]))
-        top = order[:n_stop_words]
-        self.stop_words = frozenset(top) | frozenset(self.additional_stop_words)
         sw = self.stop_words
         self.edge_cases = frozenset(
             ev
             for ev, toks in enumerate(self.entity_tokens)
             if all(t in sw for t in toks)
         )
+
+    def set_stop_words(
+        self, n_stop_words: int, additional_stop_words: list[str] | None = None
+    ) -> None:
+        """Intern additional stop words then recompute the top-n set
+        (reference: src/parser_registry.rs:118-139)."""
+        self.additional_stop_words = [
+            self._intern_word(w) for w in additional_stop_words or []
+        ]
+        self.set_top_stop_words(n_stop_words)
+
+    def set_top_stop_words(self, n_stop_words: int) -> None:
+        """Stop words = top-n tokens by number of distinct entities containing
+        them, ties broken by lower token id (Rust stable sort on -count,
+        reference: src/parser_registry.rs:141-157), union the additional
+        words."""
+        self.n_stop_words = n_stop_words
+        order = sorted(range(len(self.postings)), key=lambda tid: -len(self.postings[tid]))
+        top = order[:n_stop_words]
+        self.stop_words = frozenset(top) | frozenset(self.additional_stop_words)
+        self._recompute_edge_cases()
 
     def restore_stop_words(
         self,
@@ -166,28 +175,13 @@ class Registry:
         the doc-frequency tie-break) of a rebuilt registry can differ from
         the live parser's, so a load that recomputes may flip a tie and
         resolve differently than the parser that was dumped. The persisted
-        set is the behavior contract; edge cases are re-derived from it
-        (deterministic function of the set)."""
+        set is the behavior contract; edge cases are re-derived from it."""
         self.n_stop_words = n_stop_words
-        self.additional_stop_words = []
-        for word in additional_stop_words:
-            tid = self._intern_token(word)
-            if tid >= len(self.postings):
-                self.postings.append([])
-            self.additional_stop_words.append(tid)
-        ids = []
-        for word in stop_words:
-            tid = self._intern_token(word)
-            if tid >= len(self.postings):
-                self.postings.append([])
-            ids.append(tid)
-        self.stop_words = frozenset(ids)
-        sw = self.stop_words
-        self.edge_cases = frozenset(
-            ev
-            for ev, toks in enumerate(self.entity_tokens)
-            if all(t in sw for t in toks)
-        )
+        self.additional_stop_words = [
+            self._intern_word(w) for w in additional_stop_words
+        ]
+        self.stop_words = frozenset(self._intern_word(w) for w in stop_words)
+        self._recompute_edge_cases()
 
     # -------------------------------------------------------------- injection
 

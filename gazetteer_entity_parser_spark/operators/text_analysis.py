@@ -157,12 +157,15 @@ def repetition_signals(
     taken by the single most frequent 2-gram (boilerplate/spam detector —
     'buy now buy now buy now' scores ~1.0 on the last one).
 
-    Scale shape: the duplicate fractions are per-row array expressions (no
-    shuffle); the top-2-gram mode needs a per-(doc, gram) count, done
-    relationally — explode -> two map-side-combinable aggregations keyed by
-    doc — instead of an O(n_grams^2) per-row higher-order-function scan.
-    Both shuffles are keyed by doc id (or its supersets), so the operator
-    parallelizes by document with no hot keys."""
+    Scale shape: the duplicate fractions are per-row array expressions; the
+    top-2-gram mode needs a per-(doc, gram) count, done relationally —
+    explode_outer -> two map-side-combinable aggregations keyed by doc —
+    instead of an O(n_grams^2) per-row higher-order-function scan. The
+    per-row stats ride THROUGH the aggregations (first() per group) so the
+    corpus is scanned and tokenized exactly once: a base-vs-aggregate
+    self-join would execute the scan + split lineage once per side. Both
+    shuffles are keyed by doc id (or its supersets) — parallel by document,
+    no hot keys; explode_outer keeps zero-gram docs in the output."""
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     n_toks = F.size(toks)
     grams = F.zip_with(
@@ -176,18 +179,26 @@ def repetition_signals(
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         grams.alias("grams"),
     )
-    per_doc = (
-        base.select("id", F.explode("grams").alias("gram"))
+    gram_live = F.col("gram").isNotNull()
+    joined = (
+        base.select(
+            "id", "n_tokens", "n_distinct_tokens", F.explode_outer("grams").alias("gram")
+        )
         .groupBy("id", "gram")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+        )
         .groupBy("id")
         .agg(
-            F.sum("cnt").alias("n_grams"),
-            F.count("*").alias("n_distinct_grams"),
-            F.max("cnt").alias("top_cnt"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+            F.sum(F.when(gram_live, F.col("cnt"))).alias("n_grams"),
+            F.count(F.when(gram_live, True)).alias("n_distinct_grams"),
+            F.max(F.when(gram_live, F.col("cnt"))).alias("top_cnt"),
         )
     )
-    joined = base.drop("grams").join(per_doc, "id", "left")
     dup_tok = F.when(
         F.col("n_tokens") > 0,
         1 - F.col("n_distinct_tokens") / F.col("n_tokens"),

@@ -171,10 +171,11 @@ def build_registry_distributed(
             # inputs the big path silently accepts
             probe = [r for r in probe if r["raw_value"] and tokens_only(r["raw_value"])]
             # same total order as build_index_frames' entity-id window
-            # (Spark asc = NULLS FIRST, hence the null-safe key)
+            # (Spark asc = NULLS FIRST, hence null-safe keys for BOTH
+            # nullable columns — a NULL rank must sort first, not raise)
             probe.sort(
                 key=lambda r: (
-                    r["rank"],
+                    (r["rank"] is not None, r["rank"] if r["rank"] is not None else 0),
                     (r["resolved_value"] is not None, r["resolved_value"] or ""),
                     r["raw_value"],
                 )

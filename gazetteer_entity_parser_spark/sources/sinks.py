@@ -267,16 +267,17 @@ def merge_into_parquet(
 
 
 def is_table_identifier(target: str) -> bool:
-    """True iff ``target`` is a dotted SQL identifier (catalog.db.table) and
-    not an existing filesystem entry — the only shape eligible for the
-    Iceberg MERGE route. Path-shaped targets ('/abs', 'out/triples', './x')
-    always go to the parquet store."""
+    """True iff ``target`` is a DOTTED SQL identifier (db.table /
+    catalog.db.table) — the only shape eligible for the Iceberg MERGE route.
+    Deliberately a pure shape test: routing must be deterministic, never a
+    filesystem probe (the same target string flipping sinks depending on
+    the driver's cwd contents would split a triples store in two). A bare
+    single word ('triples') is ambiguous and treated as a parquet path —
+    force the SQL route with an explicit ``table:`` prefix in
+    :func:`merge_into`."""
     import re
 
-    return (
-        re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", target) is not None
-        and not os.path.exists(target)
-    )
+    return re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)+", target) is not None
 
 
 def merge_into(
@@ -297,12 +298,18 @@ def merge_into(
     at-least-once replay safety must carry a batch-id column and dedup in
     the MERGE source (or consult its own commit log) instead.
 
-    Routing: a target is treated as an Iceberg TABLE only when it parses as
-    a dotted SQL identifier (see :func:`is_table_identifier`); anything
-    path-shaped (separator, leading dot/slash, existing filesystem entry)
-    goes to parquet — a relative path like 'out/triples' must never reach a
-    SQL MERGE statement."""
-    if prefer_iceberg and is_table_identifier(target) and iceberg_available(spark):
+    Routing: an explicit ``table:`` / ``path:`` prefix forces the route
+    (stripped before use); otherwise only a DOTTED SQL identifier
+    (:func:`is_table_identifier`) is table-shaped — the decision is a pure
+    function of the string, never of what happens to exist on the driver's
+    filesystem, so the same target can't silently switch sinks between
+    runs."""
+    force_table = target.startswith("table:")
+    force_path = target.startswith("path:")
+    if force_table or force_path:
+        target = target.split(":", 1)[1]
+    route_iceberg = force_table or (not force_path and is_table_identifier(target))
+    if prefer_iceberg and route_iceberg and iceberg_available(spark):
         if commit_token is not None:
             raise NotImplementedError(
                 "commit_token idempotence is implemented for the parquet store "

@@ -177,8 +177,20 @@ def streaming_dedup_exact(
     ``watermark`` to switch to ``dropDuplicatesWithinWatermark`` (Spark 3.5+)
     which evicts digests older than the watermark — the right mode when
     re-crawls cluster in time. Digest collisions: sha2-256, negligible.
+
+    The digest input is the JSON encoding of the content struct (nulls
+    kept) rather than a separator-joined concat: concat_ws SKIPS null
+    columns, so (NULL, 'foo') vs ('foo', NULL) — or a null text vs an
+    empty text — would collide and silently drop a distinct document; JSON
+    escaping also disambiguates content containing the separator byte.
     """
-    digest = F.sha2(F.concat_ws("\x1f", *content_cols), 256).alias("_digest")
+    digest = F.sha2(
+        F.to_json(
+            F.struct(*[F.col(c) for c in content_cols]),
+            {"ignoreNullFields": "false"},
+        ),
+        256,
+    ).alias("_digest")
     out = pages.select("*", digest)
     if watermark is not None:
         if event_time_col is None:

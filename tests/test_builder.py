@@ -183,3 +183,26 @@ def test_dump_load_roundtrips_license(tmp_path):
     folder2 = str(tmp_path / "dump2")
     dump_parser(p2, folder2)
     assert (tmp_path / "dump2" / "LICENSE").read_text() == "MIT-ish text"
+
+
+def test_dump_rejects_colliding_or_traversing_license_filename(tmp_path):
+    """A license filename colliding with the dump's own files would clobber
+    them (license is written after the gazetteer); separators/'..' would
+    escape the folder on load."""
+    import pytest
+
+    from gazetteer_entity_parser_spark.kernel.builder import (
+        LicenseInfo,
+        ParserBuilder,
+        dump_parser,
+    )
+
+    for bad in ("gazetteer.json", "metadata.json", "../escape", "a/b", "", ".."):
+        parser = (
+            ParserBuilder()
+            .set_gazetteer([("a b", "AB")])
+            .set_license_info(LicenseInfo(bad, "x"))
+            .build()
+        )
+        with pytest.raises(ValueError, match="license filename"):
+            dump_parser(parser, str(tmp_path / ("d" + str(hash(bad)))))

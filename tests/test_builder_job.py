@@ -101,3 +101,19 @@ def test_null_raw_value_rows_equal_on_both_build_paths(spark):
     slow = build_registry_distributed(gaz, n_stop_words=1, small_gazetteer_rows=0)
     assert fast == slow
     assert fast.resolved == ["A", "C"]
+
+
+def test_null_rank_rows_equal_on_both_build_paths(spark):
+    """A NULL rank sorts first on the DataFrame path (Spark asc = NULLS
+    FIRST); the probe path must order identically instead of raising
+    TypeError on a None sort key."""
+    from gazetteer_entity_parser_spark.sources.builder_job import (
+        build_registry_distributed,
+    )
+
+    rows = [("alpha beta", "A", 5), ("gamma delta", "B", None), ("zeta", "C", 1)]
+    gaz = spark.createDataFrame(rows, "raw_value string, resolved_value string, rank bigint")
+    fast = build_registry_distributed(gaz)
+    slow = build_registry_distributed(gaz, small_gazetteer_rows=0)
+    assert fast == slow
+    assert fast.resolved[0] == "B"  # NULL rank first on both paths

@@ -370,27 +370,46 @@ def test_empty_first_merge_does_not_poison_store(spark, tmp_path):
     assert spark.read.parquet(target).collect()[0]["weight"] == 3
 
 
-def test_merge_into_table_identifier_routing(tmp_path):
-    """Path-shaped targets (separators, dots-as-paths, existing entries)
-    must never reach the Iceberg SQL MERGE route; only dotted identifiers
-    qualify."""
+def test_merge_into_table_identifier_routing(spark, tmp_path):
+    """Routing is a pure function of the target STRING (a filesystem probe
+    would let cwd contents flip the same target between sinks across runs):
+    only dotted identifiers are table-shaped; bare words are paths; explicit
+    table:/path: prefixes force the route."""
+    from gazetteer_entity_parser_spark.sources import sinks
     from gazetteer_entity_parser_spark.sources.sinks import is_table_identifier
 
     assert is_table_identifier("cat.db.triples")
-    assert is_table_identifier("triples")
+    assert is_table_identifier("db.triples")
+    assert not is_table_identifier("triples")  # bare word: ambiguous -> path
     assert not is_table_identifier("out/triples")  # relative path
     assert not is_table_identifier("/abs/triples")
     assert not is_table_identifier("./triples")
     assert not is_table_identifier("db.triples ")  # trailing junk
-    existing = tmp_path / "already_here"
-    existing.mkdir()
-    import os
-    cwd = os.getcwd()
-    try:
-        os.chdir(tmp_path)
-        assert not is_table_identifier("already_here")  # fs entry wins
-    finally:
-        os.chdir(cwd)
+
+    # path: prefix forces parquet even for a dotted name; table: forces the
+    # SQL route for a bare word (here Iceberg is absent, so it falls back to
+    # parquet — but only after taking the table branch, observed via the
+    # commit-token refusal that lives on that branch)
+    batch = spark.createDataFrame(
+        [("A", "p", "B", 1, 0, 0)],
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint",
+    )
+    stored = str(tmp_path / "db.triples")
+    assert sinks.merge_into(spark, f"path:{stored}", batch) == "parquet"
+    import os as _os
+    assert _os.path.exists(stored)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="commit_token"):
+        # force_table + commit_token refuses BEFORE consulting availability:
+        # proof the table: prefix reached the SQL-MERGE branch
+        orig = sinks.iceberg_available
+        sinks.iceberg_available = lambda s: True
+        try:
+            sinks.merge_into(spark, "table:triples", batch, commit_token="1")
+        finally:
+            sinks.iceberg_available = orig
 
 
 def test_streaming_dedup_exact_equals_batch(spark, pages, tmp_path):
@@ -462,3 +481,40 @@ def test_streaming_dedup_watermark_mode(spark, pages, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="event_time_col"):
         streaming_dedup_exact(stream, watermark="1 hour")
+
+
+def test_streaming_dedup_digest_distinguishes_nulls(spark, tmp_path):
+    """(NULL, 'foo') vs ('foo', NULL) — and null vs empty text — must NOT
+    collide: concat_ws would skip the null column and silently drop a
+    distinct document; the JSON-struct digest keeps them apart."""
+    from gazetteer_entity_parser_spark.streaming.stream import streaming_dedup_exact
+
+    rows = [
+        ("u1", "foo", None),
+        ("u2", None, "foo"),
+        ("u3", None, None),
+        ("u4", "", None),
+        ("u5", "foo", None),  # true duplicate of u1
+    ]
+    df = spark.createDataFrame(rows, "url string, lang string, text string")
+    input_dir = str(tmp_path / "in")
+    df.repartition(1).write.parquet(input_dir)
+    stream = (
+        spark.readStream.schema("url string, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        streaming_dedup_exact(stream, content_cols=("lang", "text"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out_dir)
+    assert kept.count() == 4  # only the true duplicate dropped
+    assert sorted(r["url"] for r in kept.collect())[:4] == ["u1", "u2", "u3", "u4"]
