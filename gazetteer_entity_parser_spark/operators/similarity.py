@@ -298,9 +298,10 @@ def cosine_similar_pairs_lsh(
     from pyspark.sql import Window
 
     v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
-    sized = buckets.join(
-        buckets.groupBy("t", "bucket").agg(F.count("*").alias("_bsz")),
-        ["t", "bucket"],
+    # bucket sizes via a COUNT window on the join key (see the minhash
+    # variant): one shuffle annotates sizes in place, no groupBy+rejoin
+    sized = buckets.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("t", "bucket"))
     ).persist()
     small = sized.where(F.col("_bsz") <= max_bucket_size)
     pairs_small = (
