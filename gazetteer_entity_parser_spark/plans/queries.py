@@ -1297,6 +1297,33 @@ ORACLES["pipeline_clean_corpus"] = f"""
     WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
 """
 
+# curation composition: redact -> repetition cap -> quality floor. Each
+# member oracle is nested verbatim as a CTE body (DuckDB scopes the inner
+# WITH names, so their 'base' CTEs don't collide); repetition and quality
+# run over the SAME PII-injected corpus the redaction stage sees.
+ORACLES["pipeline_curate_corpus"] = f"""
+    WITH pii_corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com ip 10.0.0.'
+                         || CAST(doc_id % 256 AS VARCHAR)
+                         || ' tel +1 555-123-4567'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    red AS ({ORACLES["text_redact_pii"]}),
+    rep AS ({ORACLES["text_repetition"].replace("documents", "pii_corpus")}),
+    qual AS ({ORACLES["text_quality_scores"].replace("documents", "pii_corpus")})
+    SELECT r.doc_id, r.redacted_text,
+           CAST(r.n_emails + r.n_ips + r.n_phones AS INT) AS n_pii,
+           p.dup_2gram_frac, q.quality_score
+    FROM red r
+    JOIN rep p ON p.doc_id = r.doc_id
+    JOIN qual q ON q.doc_id = r.doc_id
+    WHERE p.dup_2gram_frac <= 0.04 AND q.quality_score >= 0.5
+"""
+
 
 # ---- training-data operators: dedup / similarity / text analysis / media
 
@@ -1427,6 +1454,32 @@ def q_pipeline_clean_corpus(spark, sf_dir):
         .join(qual, "doc_id")
         .where(F.col("quality_score") >= 0.5)
         .select("doc_id", "quality_score")
+    )
+
+
+def q_pipeline_curate_corpus(spark, sf_dir):
+    """Composed curation pipeline over the PII-injected corpus: redact PII
+    -> repetition filter (boilerplate cap) -> quality floor; emits the
+    redacted text plus per-doc PII count and the two scores. Pins the
+    composition of the three round-3 text operators end to end (each is
+    separately oracle-checked)."""
+    from ..operators.text_analysis import quality_scores, redact_pii, repetition_signals
+
+    docs = _docs_with_pii(spark, sf_dir)
+    red = redact_pii(docs)
+    rep = repetition_signals(docs).select("doc_id", "dup_2gram_frac")
+    qual = quality_scores(docs).select("doc_id", "quality_score")
+    return (
+        red.join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .where((F.col("dup_2gram_frac") <= 0.04) & (F.col("quality_score") >= 0.5))
+        .select(
+            "doc_id",
+            "redacted_text",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
+            "dup_2gram_frac",
+            "quality_score",
+        )
     )
 
 
@@ -1624,6 +1677,7 @@ QUERIES = {
     "set_ops": q_set_ops,
     "dedup_exact_groups": q_dedup_exact_groups,
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
+    "pipeline_curate_corpus": q_pipeline_curate_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_minhash": q_dedup_clusters_minhash,
