@@ -1168,14 +1168,7 @@ ORACLES: dict[str, str] = {
     # match Spark's replace-all
     "text_redact_pii": """
         WITH pii AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 7 = 0
-                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                             || '@example.com ip 10.0.0.'
-                             || CAST(doc_id % 256 AS VARCHAR)
-                             || ' tel +1 555-123-4567'
-                        ELSE text END AS text
-            FROM documents
+            SELECT doc_id, __PII_INJECT_CASE__ AS text FROM documents
         ),
         staged AS (
             SELECT doc_id, text,
@@ -1297,20 +1290,27 @@ ORACLES["pipeline_clean_corpus"] = f"""
     WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
 """
 
+# single source of truth for the SQL-side PII injection (the Spark-side
+# twin is _docs_with_pii; their equivalence is pinned by the
+# text_redact_pii parity test) — interpolated into BOTH oracles that stage
+# the PII corpus so they cannot drift apart
+_PII_INJECT_CASE = """CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com ip 10.0.0.'
+                         || CAST(doc_id % 256 AS VARCHAR)
+                         || ' tel +1 555-123-4567'
+                    ELSE text END"""
+ORACLES["text_redact_pii"] = ORACLES["text_redact_pii"].replace(
+    "__PII_INJECT_CASE__", _PII_INJECT_CASE
+)
+
 # curation composition: redact -> repetition cap -> quality floor. Each
 # member oracle is nested verbatim as a CTE body (DuckDB scopes the inner
 # WITH names, so their 'base' CTEs don't collide); repetition and quality
 # run over the SAME PII-injected corpus the redaction stage sees.
 ORACLES["pipeline_curate_corpus"] = f"""
     WITH pii_corpus AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 7 = 0
-                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                         || '@example.com ip 10.0.0.'
-                         || CAST(doc_id % 256 AS VARCHAR)
-                         || ' tel +1 555-123-4567'
-                    ELSE text END AS text
-        FROM documents
+        SELECT doc_id, {_PII_INJECT_CASE} AS text FROM documents
     ),
     red AS ({ORACLES["text_redact_pii"]}),
     rep AS ({ORACLES["text_repetition"].replace("documents", "pii_corpus")}),
