@@ -371,6 +371,32 @@ def q_window_top3_orders(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization via the built-in ``session_window`` (the
+    streaming-capable stateful session operator, here in batch): events of
+    one user closer than OR EXACTLY AT the 30-minute gap merge into one
+    session whose end is last_event + gap (the inclusive boundary is pinned
+    empirically — see test_session_window_boundary_semantics). Oracle: the
+    classic gaps-and-islands SQL (lag -> new-session flag at diff > gap ->
+    running sum -> group). Scale shape: one shuffle keyed by user_id; the
+    session merge is a per-key sort, no cross-row Python."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_window_running_totals(spark, sf_dir):
     """Running-frame window family (ROWS BETWEEN UNBOUNDED PRECEDING AND
     CURRENT ROW + lag): per-user cumulative event value over time. ROWS frame
@@ -753,6 +779,33 @@ ORACLES: dict[str, str] = {
                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_type
         FROM events
+    """,
+    # gaps-and-islands sessionization; new session at diff STRICTLY > gap —
+    # verified empirically: Spark's session_window MERGES an event landing
+    # exactly at last+gap (inclusive boundary; pinned in
+    # tests/test_sessionize.py::test_session_window_boundary_semantics) —
+    # and session_end = last event + gap on both sides
+    "events_sessionize": """
+        WITH e AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+            FROM e
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM s GROUP BY user_id, sess_id
     """,
     "join_semi_anti": """
         WITH w AS (
@@ -1671,6 +1724,7 @@ QUERIES = {
     "join_broadcast_dims": q_join_broadcast_dims,
     "window_top3_orders": q_window_top3_orders,
     "window_running_totals": q_window_running_totals,
+    "events_sessionize": q_events_sessionize,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,

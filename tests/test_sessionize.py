@@ -1,0 +1,38 @@
+"""Session-window semantics pins for q_events_sessionize's oracle: the
+gaps-and-islands SQL must split sessions with STRICT > gap because Spark's
+session_window merges an event landing exactly at last_event + gap."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def test_session_window_boundary_semantics(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=30)),  # exactly at the gap
+        (2, base),
+        (2, base + datetime.timedelta(minutes=30, microseconds=1)),  # just past
+        (3, base),
+        (3, base + datetime.timedelta(minutes=29, seconds=59)),  # inside
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    collected = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n", F.col("session_window.end").alias("end"))
+        .collect()
+    )
+    sessions_per_user = {}
+    ends = {}
+    for r in collected:
+        sessions_per_user.setdefault(r["user_id"], []).append(r["n"])
+        ends.setdefault(r["user_id"], []).append(r["end"])
+    # exactly-at-gap MERGES (inclusive boundary) ...
+    assert sessions_per_user[1] == [2]
+    # ... one microsecond past the gap SPLITS
+    assert sorted(sessions_per_user[2]) == [1, 1]
+    assert sessions_per_user[3] == [2]
+    # session end = last event + gap
+    assert ends[1] == [base + datetime.timedelta(minutes=60)]
