@@ -36,3 +36,45 @@ def test_session_window_boundary_semantics(spark):
     assert sessions_per_user[3] == [2]
     # session end = last event + gap
     assert ends[1] == [base + datetime.timedelta(minutes=60)]
+
+
+def test_streaming_session_window_equals_batch(spark, tmp_path):
+    """session_window is the stateful STREAMING session operator — the same
+    aggregation over a file-replayed stream (availableNow, complete mode)
+    must produce exactly the batch sessions. The watermark must exceed the
+    replay's event-time disorder (files re-arrive hash-ordered, not
+    time-ordered, and events older than max_ts - watermark are dropped by
+    design); a real time-ordered feed needs only the true lateness bound."""
+    import os
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "in")
+    ev.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sess = (
+        stream.withWatermark("ts", "60 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_stream_eq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_window"]["start"], r["n_events"])
+        for r in spark.sql("select * from sess_stream_eq").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_window"]["start"], r["n_events"])
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
