@@ -1,0 +1,96 @@
+"""As-of join — an operator Spark's DataFrame API lacks natively,
+re-expressed as a composition of built-ins (the assignment's prescribed
+route for missing operators).
+
+``asof_join(left, right)`` attaches, to every left row, the most recent
+right row of the same key with ``right.on <= left.on`` (backward,
+inclusive — the semantics of DuckDB's ``ASOF JOIN ... ON l.on >= r.on``,
+which is the oracle).
+
+Physical shape: tag both inputs, union, ONE window pass per key ordered by
+(on, tag) with ``last(..., ignorenulls=True)`` over an unbounded-preceding
+ROWS frame, then keep the left rows. That is a single shuffle keyed by the
+join key and a per-key sort — no range-condition join (which Spark executes
+as a broadcast nested loop unless the range-join hints apply) and no
+candidate explosion on dense keys. At 100 TB the shuffle is the same one a
+groupBy(key) would pay, and skewed keys can reuse the extraction harness's
+salting because the window only needs per-key time order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    value_cols: list[str] | tuple[str, ...] = ("event_id", "value"),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward inclusive as-of join.
+
+    Returns every ``left`` row with ``{c}{suffix}`` for each of
+    ``value_cols`` plus ``{on}{suffix}`` — the matched right row's values,
+    or NULLs when the key has no right row at-or-before (left-join
+    semantics). Right rows sharing an exact (by, on) are deduplicated
+    deterministically to the lexicographic max of ``value_cols`` (mirrors
+    ``arg_max`` in the SQL oracle); at equal timestamps the right row IS
+    visible to the left row (inclusive boundary, pinned in
+    tests/test_asof.py).
+    """
+    by = list(by)
+    value_cols = list(value_cols)
+    # deterministic dedupe of exact (by, on) collisions on the right
+    r = (
+        right.groupBy(*by, on)
+        .agg(F.max(F.struct(*value_cols)).alias("_m"))
+        .select(
+            *by,
+            on,
+            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        )
+    )
+    out_vals = [f"{c}{suffix}" for c in value_cols]
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_is_q"),
+        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in out_vals],
+        F.lit(None).cast(dict(r.dtypes)[on]).alias(f"{on}{suffix}"),
+    )
+    r_tagged = r.select(
+        *[
+            F.lit(None).cast(t).alias(c)
+            for c, t in left.dtypes
+            if c not in by and c != on
+        ],
+        *by,
+        on,
+        F.lit(0).alias("_is_q"),
+        *out_vals,
+        F.col(on).alias(f"{on}{suffix}"),
+    ).select(*l_tagged.columns)  # align column order for unionByName
+    u = l_tagged.unionByName(r_tagged)
+    # right rows (tag 0) sort before left rows (tag 1) at equal `on`,
+    # making the boundary inclusive
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(on, "_is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in out_vals + [f"{on}{suffix}"]
+        ],
+    )
+    keep = [c for c in left.columns]
+    return filled.where(F.col("_is_q") == 1).select(
+        *keep,
+        *[F.col(f"_f_{c}").alias(c) for c in out_vals],
+        F.col(f"_f_{on}{suffix}").alias(f"{on}{suffix}"),
+    )

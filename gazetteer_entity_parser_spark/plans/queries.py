@@ -397,6 +397,29 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks natively — composed from union +
+    one keyed window, see operators/asof.py): each purchase event joined to
+    the user's most recent click at-or-before it (left semantics: purchases
+    with no prior click keep NULLs). Oracle: DuckDB's native ASOF LEFT
+    JOIN with arg_max pre-dedupe — the same inclusive >= boundary."""
+    from ..operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    b = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(a, b, on="ts", by=["user_id"], value_cols=["event_id", "value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_asof").alias("click_event_id"),
+        F.col("value_asof").alias("click_value"),
+        F.col("ts_asof").alias("click_ts"),
+    )
+
+
 def q_window_running_totals(spark, sf_dir):
     """Running-frame window family (ROWS BETWEEN UNBOUNDED PRECEDING AND
     CURRENT ROW + lag): per-user cumulative event value over time. ROWS frame
@@ -806,6 +829,24 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM s GROUP BY user_id, sess_id
+    """,
+    # native ASOF LEFT JOIN (inclusive a.ts >= b.ts, matching the Spark
+    # operator's tag ordering); arg_max pre-dedupe mirrors the operator's
+    # max(struct(event_id, value)) exact-timestamp tie-break
+    "events_asof_join": """
+        WITH a AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT user_id, ts, max(event_id) AS ref_event_id,
+                   arg_max(value, event_id) AS ref_value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT a.user_id, a.event_id,
+               b.ref_event_id AS click_event_id,
+               b.ref_value AS click_value,
+               b.ts AS click_ts
+        FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
     """,
     "join_semi_anti": """
         WITH w AS (
@@ -1725,6 +1766,7 @@ QUERIES = {
     "window_top3_orders": q_window_top3_orders,
     "window_running_totals": q_window_running_totals,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,

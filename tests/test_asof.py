@@ -1,0 +1,57 @@
+"""asof_join semantics pins: inclusive boundary, left-join NULLs, exact-
+timestamp dedupe, and multi-key isolation."""
+
+import datetime
+
+from gazetteer_entity_parser_spark.operators.asof import asof_join
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), 100),  # after right @5 -> matches 5
+            (1, _ts(5), 101),   # EXACTLY at right @5 -> inclusive match
+            (1, _ts(1), 102),   # before any right -> NULLs
+            (2, _ts(50), 200),  # user 2 sees only user 2's rights
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 10, 1.5),
+            (1, _ts(9), 11, 2.5),
+            (2, _ts(40), 20, 3.5),
+            (1, _ts(30), 12, 9.9),  # later than every left row: never matches
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="ts", by=["user_id"],
+                           value_cols=["event_id", "value"]).collect()
+    }
+    assert out[100]["event_id_asof"] == 11 and out[100]["value_asof"] == 2.5
+    assert out[100]["ts_asof"] == _ts(9)
+    assert out[101]["event_id_asof"] == 10  # inclusive at equal ts
+    assert out[102]["event_id_asof"] is None and out[102]["ts_asof"] is None
+    assert out[200]["event_id_asof"] == 20  # keys never cross
+
+
+def test_asof_join_exact_ts_dedupe(spark):
+    """Two right rows at the identical (key, ts) resolve deterministically
+    to the lexicographic max of value_cols (arg_max in the oracle)."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100)], "user_id bigint, ts timestamp, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 7, 1.0), (1, _ts(5), 9, 2.0), (1, _ts(5), 8, 3.0)],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row["event_id_asof"] == 9 and row["value_asof"] == 2.0
