@@ -1,6 +1,5 @@
-"""As-of join — an operator Spark's DataFrame API lacks natively,
-re-expressed as a composition of built-ins (the assignment's prescribed
-route for missing operators).
+"""Event-time joins Spark's DataFrame API lacks natively — as-of join and
+bucketized range join — re-expressed as compositions of built-ins.
 
 ``asof_join(left, right)`` attaches, to every left row, the most recent
 right row of the same key with ``right.on <= left.on`` (backward,
@@ -93,4 +92,59 @@ def asof_join(
         *keep,
         *[F.col(f"_f_{c}").alias(c) for c in out_vals],
         F.col(f"_f_{on}{suffix}").alias(f"{on}{suffix}"),
+    )
+
+
+_EPOCH_ORIGIN = "TIMESTAMP_NTZ '2000-01-01 00:00:00'"
+
+
+def _epoch_seconds(col_name: str):
+    """Seconds since a fixed NTZ origin via ``timestampdiff`` — pure
+    wall-clock arithmetic, no session-timezone conversion (an NTZ ->
+    epoch cast would shift by the session zone and, across a DST fold,
+    could distort two wall times' distance enough to break bucket
+    adjacency)."""
+    return F.expr(f"timestampdiff(SECOND, {_EPOCH_ORIGIN}, {col_name})")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | tuple[str, ...] = ("user_id",),
+    window_seconds: int = 21600,
+    value_cols: list[str] | tuple[str, ...] = ("event_id",),
+    suffix: str = "_rng",
+) -> DataFrame:
+    """Range join — all right rows with ``left.on - window <= right.on <=
+    left.on`` per key — via BUCKETIZATION: both sides bucket their time by
+    the window width, the left side duplicates into its own and the
+    previous bucket, and the match becomes an EQUI-join on (key, bucket)
+    followed by the exact interval filter on the raw columns.
+
+    Why: Spark executes a raw range-condition join as a broadcast
+    nested loop (O(|L|x|R|) per key when neither side is broadcastable);
+    the bucketed form is a plain shuffled equi-join whose candidate count
+    is bounded by 2x the true temporal density. Each true pair is produced
+    exactly once (a right row lives in exactly one bucket, which is either
+    the left row's bucket or its predecessor), so no distinct is needed.
+    The exact filter always re-checks the ORIGINAL timestamp columns."""
+    by = list(by)
+    value_cols = list(value_cols)
+    w = int(window_seconds)
+    r = right.select(
+        *by,
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.floor(_epoch_seconds(on) / w).alias("_bkt"),
+    )
+    l_bkt = F.floor(_epoch_seconds(on) / w)
+    l = left.select(
+        "*", F.explode(F.array(l_bkt, l_bkt - 1)).alias("_bkt")
+    )
+    lo = F.col(on) - F.expr(f"INTERVAL {w} SECOND")
+    return (
+        l.join(r, by + ["_bkt"])
+        .where((F.col(f"{on}{suffix}") >= lo) & (F.col(f"{on}{suffix}") <= F.col(on)))
+        .drop("_bkt")
     )

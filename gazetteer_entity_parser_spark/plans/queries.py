@@ -420,6 +420,29 @@ def q_events_asof_join(spark, sf_dir):
     )
 
 
+def q_events_range_join(spark, sf_dir):
+    """Bucketized range join (see operators/asof.py:range_join_bucketed):
+    every (purchase, click) pair of the same user with the click within 6
+    hours at-or-before the purchase — a shuffled equi-join on (user,
+    time-bucket) + exact interval filter instead of the broadcast nested
+    loop Spark plans for a raw range condition. Oracle: the raw inequality
+    join (DuckDB plans it as an IEJoin)."""
+    from ..operators.asof import range_join_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    out = range_join_bucketed(
+        a, b, on="ts", by=["user_id"], window_seconds=21600, value_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("event_id_rng").alias("click_event_id"),
+        F.col("ts_rng").alias("click_ts"),
+    )
+
+
 def q_window_running_totals(spark, sf_dir):
     """Running-frame window family (ROWS BETWEEN UNBOUNDED PRECEDING AND
     CURRENT ROW + lag): per-user cumulative event value over time. ROWS frame
@@ -847,6 +870,22 @@ ORACLES: dict[str, str] = {
                b.ref_value AS click_value,
                b.ts AS click_ts
         FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+    # raw inequality range join — DuckDB plans this as an IEJoin; the Spark
+    # side must produce the same pairs from its bucketed equi-join
+    "events_range_join": """
+        WITH a AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        )
+        SELECT a.user_id, a.event_id,
+               b.event_id AS click_event_id,
+               b.ts AS click_ts
+        FROM a JOIN b
+        ON a.user_id = b.user_id
+        AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
     """,
     "join_semi_anti": """
         WITH w AS (
@@ -1767,6 +1806,7 @@ QUERIES = {
     "window_running_totals": q_window_running_totals,
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,

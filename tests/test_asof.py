@@ -3,6 +3,8 @@ timestamp dedupe, and multi-key isolation."""
 
 import datetime
 
+from pyspark.sql import functions as F
+
 from gazetteer_entity_parser_spark.operators.asof import asof_join
 
 BASE = datetime.datetime(2024, 1, 1)
@@ -55,3 +57,55 @@ def test_asof_join_exact_ts_dedupe(spark):
     )
     row = asof_join(left, right).collect()[0]
     assert row["event_id_asof"] == 9 and row["value_asof"] == 2.0
+
+
+def test_range_join_bucketed_semantics(spark):
+    """Pairs exactly at the window edge are included (BETWEEN semantics);
+    bucket-boundary pairs (adjacent buckets) are found; nothing outside the
+    window or across keys leaks; no pair is emitted twice."""
+    from gazetteer_entity_parser_spark.operators.asof import range_join_bucketed
+
+    W = 600  # 10-minute window
+    left = spark.createDataFrame(
+        [
+            (1, _ts(20), 100),
+            (2, _ts(20), 200),
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 10),   # exactly at left.ts - W -> included
+            (1, _ts(15), 11),   # inside, previous bucket of left @20
+            (1, _ts(20), 12),   # exactly at left.ts -> included
+            (1, _ts(9), 13),    # just outside -> excluded
+            (1, _ts(21), 14),   # after -> excluded
+            (2, _ts(19), 20),   # other key
+        ],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    out = range_join_bucketed(
+        left, right, on="ts", by=["user_id"], window_seconds=W,
+        value_cols=["event_id"],
+    ).collect()
+    pairs = sorted((r["event_id"], r["event_id_rng"]) for r in out)
+    assert pairs == [(100, 10), (100, 11), (100, 12), (200, 20)]
+    assert len(pairs) == len(set(pairs))  # each true pair exactly once
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The whole point of bucketization: the physical plan must be a
+    shuffled/broadcast EQUI-join, never BroadcastNestedLoopJoin or
+    CartesianProduct (what Spark plans for a raw range condition)."""
+    from gazetteer_entity_parser_spark.operators.asof import range_join_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    b = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    plan = (
+        range_join_bucketed(a, b, window_seconds=21600, value_cols=["event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
