@@ -443,6 +443,30 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_events_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour buckets rolled up
+    to day and grand total in ONE pass (ROLLUP grouping sets — Spark plans
+    a single Expand + partial/final aggregate, not three scans). Buckets
+    are derived by STRING truncation of the NTZ timestamp — date_trunc
+    would convert through the session timezone (tz-dependent buckets);
+    substring of the canonical 'yyyy-MM-dd HH:..' rendering is
+    timezone-free and identical in DuckDB. Value sums use the e4
+    fixed-point pattern (order-independent integer sums)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.substring(F.col("ts").cast("string"), 1, 10).alias("day")
+    hr = F.substring(F.col("ts").cast("string"), 1, 13).alias("hr")
+    return (
+        ev.rollup(day, hr)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias(
+                "sum_value_e4"
+            ),
+        )
+        .select("day", "hr", "n_events", "sum_value_e4")
+    )
+
+
 def q_window_running_totals(spark, sf_dir):
     """Running-frame window family (ROWS BETWEEN UNBOUNDED PRECEDING AND
     CURRENT ROW + lag): per-user cumulative event value over time. ROWS frame
@@ -886,6 +910,17 @@ ORACLES: dict[str, str] = {
         FROM a JOIN b
         ON a.user_id = b.user_id
         AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+    """,
+    # string-truncated buckets (timezone-free, identical rendering in both
+    # engines) rolled up hour -> day -> total in one grouping-sets pass
+    "events_time_rollup": """
+        SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
+               substr(CAST(ts AS VARCHAR), 1, 13) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_value_e4
+        FROM events
+        GROUP BY ROLLUP(day, hr)
     """,
     "join_semi_anti": """
         WITH w AS (
@@ -1807,6 +1842,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
+    "events_time_rollup": q_events_time_rollup,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,
