@@ -40,12 +40,24 @@ def asof_join(
     ``arg_max`` in the SQL oracle); at equal timestamps the right row IS
     visible to the left row (inclusive boundary, pinned in
     tests/test_asof.py).
+
+    NULL semantics match the SQL oracle's ``ON l.by = r.by AND l.on >=
+    r.on``: right rows with a NULL key or NULL ``on`` can never match and
+    are dropped up front, and a left row with NULL key/``on`` gets NULLs.
+    The matched row is carried as ONE struct through ``last(ignorenulls)``
+    — per-column fills would "tear" a match whose value column is
+    genuinely NULL by back-filling it from an older row
+    (tests/test_asof.py::test_asof_join_null_semantics).
     """
     by = list(by)
     value_cols = list(value_cols)
+    not_null_key = F.col(on).isNotNull()
+    for k in by:
+        not_null_key = not_null_key & F.col(k).isNotNull()
     # deterministic dedupe of exact (by, on) collisions on the right
     r = (
-        right.groupBy(*by, on)
+        right.where(not_null_key)
+        .groupBy(*by, on)
         .agg(F.max(F.struct(*value_cols)).alias("_m"))
         .select(
             *by,
@@ -54,11 +66,13 @@ def asof_join(
         )
     )
     out_vals = [f"{c}{suffix}" for c in value_cols]
+    payload_cols = out_vals + [f"{on}{suffix}"]
+    rd = dict(r.dtypes)
     l_tagged = left.select(
         "*",
         F.lit(1).alias("_is_q"),
-        *[F.lit(None).cast(dict(r.dtypes)[c]).alias(c) for c in out_vals],
-        F.lit(None).cast(dict(r.dtypes)[on]).alias(f"{on}{suffix}"),
+        *[F.lit(None).cast(rd[c]).alias(c) for c in out_vals],
+        F.lit(None).cast(rd[on]).alias(f"{on}{suffix}"),
     )
     r_tagged = r.select(
         *[
@@ -71,27 +85,24 @@ def asof_join(
         F.lit(0).alias("_is_q"),
         *out_vals,
         F.col(on).alias(f"{on}{suffix}"),
-    ).select(*l_tagged.columns)  # align column order for unionByName
+    )
     u = l_tagged.unionByName(r_tagged)
     # right rows (tag 0) sort before left rows (tag 1) at equal `on`,
-    # making the boundary inclusive
+    # making the boundary inclusive; NULL `on` left rows sort first and
+    # therefore see no (non-null-on) right row — no match, as in SQL
     w = (
         Window.partitionBy(*by)
         .orderBy(on, "_is_q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in out_vals + [f"{on}{suffix}"]
-        ],
+    # the whole matched row rides as ONE nullable struct (atomic fill)
+    payload = F.when(
+        F.col("_is_q") == 0, F.struct(*[F.col(c) for c in payload_cols])
     )
-    keep = [c for c in left.columns]
+    filled = u.withColumn("_match", F.last(payload, ignorenulls=True).over(w))
     return filled.where(F.col("_is_q") == 1).select(
-        *keep,
-        *[F.col(f"_f_{c}").alias(c) for c in out_vals],
-        F.col(f"_f_{on}{suffix}").alias(f"{on}{suffix}"),
+        *left.columns,
+        *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
     )
 
 

@@ -109,3 +109,37 @@ def test_range_join_plan_has_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_null_semantics(spark):
+    """NULL handling must match the SQL oracle (ON l.by = r.by AND l.on >=
+    r.on): a match whose value column is genuinely NULL stays NULL (no
+    back-fill from an older row), NULL-timestamp right rows never match,
+    and NULL keys never match each other."""
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (2, _ts(10), 200), (None, _ts(10), 300)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 10, 1.5),
+            (1, _ts(9), 11, None),  # true match for user 1, value NULL
+            (2, None, 20, 2.5),     # NULL ts: can never match
+            (None, _ts(5), 30, 3.5),  # NULL key: can never match
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="ts", by=["user_id"],
+                           value_cols=["event_id", "value"]).collect()
+    }
+    assert len(out) == 3  # every left row survives (left semantics)
+    # atomic match: event_id from the 00:09 row AND its NULL value —
+    # not value 1.5 torn from the older 00:05 row
+    assert out[100]["event_id_asof"] == 11 and out[100]["value_asof"] is None
+    assert out[100]["ts_asof"] == _ts(9)
+    # NULL-ts right row fabricates nothing
+    assert out[200]["event_id_asof"] is None and out[200]["ts_asof"] is None
+    # NULL keys don't match each other
+    assert out[300]["event_id_asof"] is None
