@@ -5,7 +5,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
-from gazetteer_entity_parser_spark.operators.asof import asof_join
+from gazetteer_entity_parser_spark.operators.asof import asof_join, range_join_bucketed
 
 BASE = datetime.datetime(2024, 1, 1)
 
@@ -143,3 +143,59 @@ def test_asof_join_null_semantics(spark):
     assert out[200]["event_id_asof"] is None and out[200]["ts_asof"] is None
     # NULL keys don't match each other
     assert out[300]["event_id_asof"] is None
+
+
+def test_asof_and_range_join_randomized_vs_reference(spark):
+    """200 random events, several keys, duplicate and boundary-colliding
+    timestamps: both operators must match a brute-force Python reference
+    exactly (one Spark job per operator, seeded — not per-example jobs)."""
+    import random
+
+    rng = random.Random(20240817)
+    W = 600
+    lrows, rrows = [], []
+    for i in range(100):
+        # coarse second grid -> plenty of exact ties and window-edge hits
+        lrows.append((rng.randint(1, 5), _ts(rng.randint(0, 300) / 10), 1000 + i))
+    for i in range(100):
+        rrows.append(
+            (rng.randint(1, 5), _ts(rng.randint(0, 300) / 10), 2000 + i,
+             float(rng.randint(0, 50)))
+        )
+    left = spark.createDataFrame(lrows, "user_id bigint, ts timestamp, event_id bigint")
+    right = spark.createDataFrame(
+        rrows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+
+    # ---- asof: reference = max-ts right row at-or-before; exact-ts ties
+    # dedupe to lexicographic max of (event_id, value)
+    got = {
+        r["event_id"]: (r["event_id_asof"], r["value_asof"], r["ts_asof"])
+        for r in asof_join(left, right, value_cols=["event_id", "value"]).collect()
+    }
+    assert len(got) == len(lrows)
+    for u, lts, lid in lrows:
+        cands = [(ts, eid, v) for (ru, ts, eid, v) in rrows if ru == u and ts <= lts]
+        if not cands:
+            assert got[lid] == (None, None, None), lid
+        else:
+            best_ts = max(c[0] for c in cands)
+            eid, v = max((eid, v) for ts, eid, v in cands if ts == best_ts)
+            assert got[lid] == (eid, v, best_ts), lid
+
+    # ---- range: reference = every pair within [lts - W, lts]
+    pairs = {
+        (r["event_id"], r["event_id_rng"])
+        for r in range_join_bucketed(
+            left, right, window_seconds=W, value_cols=["event_id"]
+        ).collect()
+    }
+    import datetime as _dt
+
+    expected = {
+        (lid, rid)
+        for (u, lts, lid) in lrows
+        for (ru, rts, rid, _v) in rrows
+        if ru == u and lts - _dt.timedelta(seconds=W) <= rts <= lts
+    }
+    assert pairs == expected
