@@ -6,6 +6,8 @@ import datetime
 
 from pyspark.sql import functions as F
 
+SF = "/root/testdata/sf0.001"
+
 
 def test_session_window_boundary_semantics(spark):
     base = datetime.datetime(2024, 1, 1)
@@ -45,10 +47,12 @@ def test_streaming_session_window_equals_batch(spark, tmp_path):
     replay's event-time disorder (files re-arrive hash-ordered, not
     time-ordered, and events older than max_ts - watermark are dropped by
     design); a real time-ordered feed needs only the true lateness bound."""
-    import os
-
+    # the cast is LOAD-BEARING: parquet ts is TIMESTAMP_NTZ and
+    # withWatermark rejects NTZ event-time columns (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE); batch session_window tolerates NTZ, streaming's
+    # watermark does not
     ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        spark.read.parquet(f"{SF}/events.parquet")
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     src = str(tmp_path / "in")
