@@ -443,6 +443,38 @@ def q_events_range_join(spark, sf_dir):
     )
 
 
+def q_web_url_canonical(spark, sf_dir):
+    """URL canonicalization dedupe (the standard web-corpus recrawl key):
+    every 5th page re-arrives under a messy variant URL (upper-case
+    scheme/host, explicit default port, utm params, fragment, trailing
+    slash); canonicalization must collapse each variant onto its clean
+    original — emitted as the canonical forms with more than one variant.
+    Pure regexp codegen; see sources/webpages.py:canonical_url."""
+    from ..sources.webpages import canonical_url, webpages_from_documents
+
+    pages = webpages_from_documents(_docs(spark, sf_dir)).select("url")
+    messy = (
+        _docs(spark, sf_dir)
+        .where(F.pmod("doc_id", F.lit(5)) == 0)
+        .select(
+            F.concat(
+                F.lit("HTTPS://Example.ORG:443/"),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id"),
+                F.lit("/?utm_source=feed&utm_campaign=x#frag"),
+            ).alias("url")
+        )
+    )
+    return (
+        pages.unionByName(messy)
+        .select(canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+        .where(F.col("n_variants") > 1)
+    )
+
+
 def q_events_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hour buckets rolled up
     to day and grand total in ONE pass (ROLLUP grouping sets — Spark plans
@@ -910,6 +942,43 @@ ORACLES: dict[str, str] = {
         FROM a JOIN b
         ON a.user_id = b.user_id
         AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+    """,
+    # identical canonicalization pipeline, member for member (lower
+    # scheme/host, default-port drop, utm filter, fragment drop, trailing
+    # slash trim) — all regexps dialect-portable between Java and RE2
+    "web_url_canonical": """
+        WITH pages AS (
+            SELECT 'https://example.org/' || source || '/' || doc_id AS url
+            FROM documents
+            UNION ALL
+            SELECT 'HTTPS://Example.ORG:443/' || source || '/' || doc_id
+                   || '/?utm_source=feed&utm_campaign=x#frag' AS url
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        parts AS (
+            -- COALESCE: DuckDB regexp_extract yields NULL on no-match where
+            -- Spark yields '' — without it one NULL poisons the whole concat
+            SELECT lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
+                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*)', 1), '')) AS host,
+                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#:]*:([0-9]+)', 1), '') AS port,
+                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+                   COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+            FROM pages
+        ),
+        canon AS (
+            SELECT scheme || '://' || host
+                   || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                                OR (scheme = 'https' AND port = '443')
+                           THEN '' ELSE ':' || port END
+                   || CASE WHEN regexp_replace(path, '/+$', '') = ''
+                           THEN '/' ELSE regexp_replace(path, '/+$', '') END
+                   || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+            FROM (SELECT *, COALESCE(array_to_string(list_filter(string_split(query, '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> ''), '&'), '') AS cq
+                  FROM parts)  -- COALESCE: array_to_string([]) is NULL here
+        )
+        SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants
+        FROM canon GROUP BY 1 HAVING count(*) > 1
     """,
     # string-truncated buckets (timezone-free, identical rendering in both
     # engines) rolled up hour -> day -> total in one grouping-sets pass
@@ -1843,6 +1912,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
+    "web_url_canonical": q_web_url_canonical,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
     "agg_rollup": q_agg_rollup,

@@ -55,3 +55,49 @@ def read_table_or_parquet(spark: SparkSession, name_or_path: str) -> DataFrame:
         return spark.read.table(name_or_path)
     except Exception:
         return spark.read.parquet(name_or_path)
+
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)"
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]*:([0-9]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url) -> "F.Column":
+    """Canonical form of a crawled URL — the standard web-corpus dedupe key:
+    lowercase scheme and host, drop default ports (http:80 / https:443),
+    drop the fragment, strip ``utm_*`` tracking params (other params kept,
+    original order preserved), and trim trailing slashes from the path
+    ('' path renders as '/'). Pure regexp/array built-ins, whole-stage
+    codegen, and every regexp is dialect-portable so the DuckDB oracle
+    applies the identical transformation."""
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    clean_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        ),
+        "&",
+    )
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        keep_port,
+        path,
+        F.when(clean_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), clean_q)),
+    )

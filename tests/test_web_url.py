@@ -1,0 +1,44 @@
+"""canonical_url semantics: the standard web-corpus recrawl-dedupe key."""
+
+import pytest
+
+from gazetteer_entity_parser_spark.sources.webpages import canonical_url
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # case-folding of scheme+host, path case preserved
+        ("HTTPS://Example.ORG/A/B", "https://example.org/A/B"),
+        # default ports dropped, non-default kept
+        ("https://example.org:443/x", "https://example.org/x"),
+        ("http://example.org:80/x", "http://example.org/x"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),
+        # fragment dropped, trailing slash trimmed
+        ("https://example.org/x/#top", "https://example.org/x"),
+        # utm params stripped, other params kept in original order
+        ("https://example.org/x?utm_source=a&id=7&utm_campaign=b&q=z",
+         "https://example.org/x?id=7&q=z"),
+        # all-utm query disappears entirely
+        ("https://example.org/x/?utm_source=a#f", "https://example.org/x"),
+        # bare host: empty path renders as /
+        ("https://example.org", "https://example.org/"),
+        ("https://example.org/?utm_medium=m", "https://example.org/"),
+    ],
+)
+def test_canonical_url_cases(spark, raw, expected):
+    df = spark.createDataFrame([(raw,)], "url string")
+    got = df.select(canonical_url("url").alias("c")).collect()[0]["c"]
+    assert got == expected
+
+
+def test_canonical_url_pure_codegen(spark):
+    df = spark.createDataFrame([("https://a.b/c",)], "url string")
+    plan = (
+        df.select(canonical_url("url"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan, node
