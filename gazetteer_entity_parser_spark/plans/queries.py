@@ -959,8 +959,8 @@ ORACLES: dict[str, str] = {
             -- COALESCE: DuckDB regexp_extract yields NULL on no-match where
             -- Spark yields '' — without it one NULL poisons the whole concat
             SELECT lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
-                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:]*)', 1), '')) AS host,
-                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#:]*:([0-9]+)', 1), '') AS port,
+                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:@]*)', 1), '')) AS host,
+                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?[^/?#:@]*:([0-9]+)', 1), '') AS port,
                    COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
                    COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
             FROM pages

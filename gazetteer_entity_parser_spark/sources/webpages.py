@@ -58,8 +58,12 @@ def read_table_or_parquet(spark: SparkSession, name_or_path: str) -> DataFrame:
 
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]*)"
-_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]*:([0-9]+)"
+# the optional (?:[^/?#@]*@)? skips RFC-3986 userinfo (user:pass@) so host
+# extraction doesn't stop at the credential colon; credentials are DROPPED
+# from the canonical form (the standard move for a dedupe key — two crawls
+# of the same resource under different credentials are the same page)
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?[^/?#:@]*:([0-9]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
