@@ -452,10 +452,10 @@ def q_web_url_canonical(spark, sf_dir):
     Pure regexp codegen; see sources/webpages.py:canonical_url."""
     from ..sources.webpages import canonical_url, webpages_from_documents
 
-    pages = webpages_from_documents(_docs(spark, sf_dir)).select("url")
+    docs = _docs(spark, sf_dir)
+    pages = webpages_from_documents(docs).select("url")
     messy = (
-        _docs(spark, sf_dir)
-        .where(F.pmod("doc_id", F.lit(5)) == 0)
+        docs.where(F.pmod("doc_id", F.lit(5)) == 0)
         .select(
             F.concat(
                 F.lit("HTTPS://Example.ORG:443/"),
@@ -958,21 +958,24 @@ ORACLES: dict[str, str] = {
         parts AS (
             -- COALESCE: DuckDB regexp_extract yields NULL on no-match where
             -- Spark yields '' — without it one NULL poisons the whole concat
-            SELECT lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
-                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:@]*)', 1), '')) AS host,
-                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?[^/?#:@]*:([0-9]+)', 1), '') AS port,
+            SELECT url,
+                   lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
+                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:@]*)', 1), '')) AS host,
+                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/?#:@]*):([0-9]+)(?:[/?#]|$)', 1), '') AS port,
                    COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
-                   COALESCE(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+                   COALESCE(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '') AS query
             FROM pages
         ),
         canon AS (
-            SELECT scheme || '://' || host
+            SELECT CASE WHEN scheme = '' THEN url ELSE
+                   scheme || '://' || host
                    || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                                 OR (scheme = 'https' AND port = '443')
                            THEN '' ELSE ':' || port END
                    || CASE WHEN regexp_replace(path, '/+$', '') = ''
                            THEN '/' ELSE regexp_replace(path, '/+$', '') END
-                   || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+                   || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+                   END AS canonical_url
             FROM (SELECT *, COALESCE(array_to_string(list_filter(string_split(query, '&'),
                       p -> NOT starts_with(p, 'utm_') AND p <> ''), '&'), '') AS cq
                   FROM parts)  -- COALESCE: array_to_string([]) is NULL here

@@ -61,11 +61,20 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 # the optional (?:[^/?#@]*@)? skips RFC-3986 userinfo (user:pass@) so host
 # extraction doesn't stop at the credential colon; credentials are DROPPED
 # from the canonical form (the standard move for a dedupe key — two crawls
-# of the same resource under different credentials are the same page)
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:@]*)"
-_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?[^/?#:@]*:([0-9]+)"
+# of the same resource under different credentials are the same page).
+# Hosts may be bracketed IPv6 literals (the bracket alternative comes
+# first so '[2001:db8::1]' isn't chopped at its first colon). The port
+# must be FOLLOWED by a path/query/fragment/end — '(?:[/?#]|$)' is the
+# RE2-compatible way to say it (no lookahead in RE2): without it, a
+# digits-only password like user:8080@host backtracks into a phantom
+# port.
+_AUTH = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?"
+_HOST_RE = _AUTH + r"(\[[^\]/?#]*\]|[^/?#:@]*)"
+_PORT_RE = _AUTH + r"(?:\[[^\]/?#]*\]|[^/?#:@]*):([0-9]+)(?:[/?#]|$)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored to the pre-fragment region: a '?' INSIDE the fragment must not
+# resurrect fragment content as a query string
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
 def canonical_url(url) -> "F.Column":
@@ -97,7 +106,7 @@ def canonical_url(url) -> "F.Column":
     )
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -105,3 +114,7 @@ def canonical_url(url) -> "F.Column":
         path,
         F.when(clean_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), clean_q)),
     )
+    # non-URL inputs (relative paths, mailto:, garbage manifest lines) pass
+    # through unchanged — collapsing them all onto ':///' would falsely
+    # dedupe unrelated records
+    return F.when(scheme == "", url).otherwise(canon)
