@@ -46,7 +46,9 @@ def _vectors_matrix(vals, dim):
     of width ``dim`` is a single zero-copy-ish np.array; ragged or
     differently-sized vectors degrade to prefix semantics (truncate past
     ``dim``, zero-pad short rows) — matching the literal expression paths'
-    slice+coalesce behavior instead of raising from a ragged matmul."""
+    slice+coalesce behavior instead of raising from a ragged matmul. NULL
+    vectors become zero rows (callers that need literal-path parity for
+    nulls mask them explicitly — see :func:`_lsh_assign_matmul`)."""
     import numpy as np
 
     vals = list(vals)
@@ -54,10 +56,12 @@ def _vectors_matrix(vals, dim):
         q = np.array(vals, dtype=np.float64)
         if q.ndim == 2 and q.shape[1] == dim:
             return q
-    except ValueError:
+    except (ValueError, TypeError):
         pass
     out = np.zeros((len(vals), dim), dtype=np.float64)
     for i, v in enumerate(vals):
+        if v is None:
+            continue
         d = min(len(v), dim)
         out[i, :d] = np.asarray(v[:d], dtype=np.float64)
     return out
@@ -172,12 +176,25 @@ LSH_LITERAL_MAX_PLANES = 16
 
 
 def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
-                       n_planes: int, dim: int, n_tables: int) -> DataFrame:
-    """(id, v, b0..b{T-1}) with all n_tables*n_planes sign bits from one
-    BLAS matmul per batch. Plane values are identical to the literal path
-    (same blake2b derivation); vectors pass through as float64 so downstream
-    JVM cosine arithmetic is unchanged. Sign convention matches
-    :func:`hyperplane_signs` (dot >= 0 sets the bit)."""
+                       n_planes: int, dim: int, n_tables: int,
+                       probe_bits: int = 0) -> DataFrame:
+    """(id, v, b0..b{T-1}[, p0..p{T-1}]) with all n_tables*n_planes sign bits
+    from one BLAS matmul per batch. Plane values are identical to the literal
+    path (same blake2b derivation); vectors pass through as float64 so
+    downstream JVM cosine arithmetic is unchanged. Sign convention matches
+    :func:`hyperplane_signs` (dot >= 0 sets the bit).
+
+    NULL vectors hash to bucket 0 in every table — the same bucket the
+    literal path's NULL dot product lands in (``when(NULL >= 0)`` falls to
+    otherwise(0)) — so plan choice never flips the null failure mode.
+
+    ``probe_bits > 0`` additionally emits per-table MULTI-PROBE bucket arrays
+    ``p{t}``: the primary bucket plus the buckets reached by flipping each of
+    the ``probe_bits`` lowest-|margin| sign bits (margin = the plane dot
+    product, already computed by the same matmul). Flipping the least-confident
+    bits probes exactly the buckets a true near neighbor most likely fell
+    into — classic multi-probe LSH (Lv et al., VLDB'07) — so recall rises
+    steeply without adding tables or planes."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -192,6 +209,7 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
     )
     bc = emb.sparkSession.sparkContext.broadcast(H)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
+    probe_bits = min(probe_bits, n_planes)
 
     # id passes through untouched (string/uuid ids work exactly like the
     # literal path, which never looks at the id either)
@@ -201,6 +219,12 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
             T.StructField("v", T.ArrayType(T.DoubleType())),
         ]
         + [T.StructField(f"b{t}", T.IntegerType()) for t in range(n_tables)]
+        + (
+            [T.StructField(f"p{t}", T.ArrayType(T.IntegerType()))
+             for t in range(n_tables)]
+            if probe_bits
+            else []
+        )
     )
 
     def assign(batches):
@@ -208,21 +232,43 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
         for pdf in batches:
             if pdf.empty:
                 continue
+            nulls = pdf[vec_col].isna().to_numpy()
             # prefix-LSH degradation on dim mismatch (same as the literal
             # path's slice+coalesce: missing components contribute 0)
             q = _vectors_matrix(pdf[vec_col], planes.shape[1])
-            signs = (q @ planes.T) >= 0.0  # (batch, T*P)
+            margins = q @ planes.T  # (batch, T*P)
+            signs = margins >= 0.0
+            # null vector -> every bit unset (bucket 0), matching the literal
+            # path's NULL-dot semantics instead of the all-bits-set bucket a
+            # zero vector would produce
+            signs[nulls] = False
             out = {
                 "id": pdf[id_col],
                 # pass the ORIGINAL vector through (as float64) so downstream
                 # exact-cosine arithmetic matches the other paths even when
                 # the matrix was padded/truncated for hashing
-                "v": [[float(x) for x in v] for v in pdf[vec_col]],
+                "v": [
+                    None if v is None else [float(x) for x in v]
+                    for v in pdf[vec_col]
+                ],
             }
             for t in range(n_tables):
-                out[f"b{t}"] = (
+                buckets = (
                     signs[:, t * n_planes : (t + 1) * n_planes] @ weights
                 ).astype(np.int32)
+                out[f"b{t}"] = buckets
+                if probe_bits:
+                    # flip order = ascending |margin|: the least-confident
+                    # sign bits first
+                    flips = np.argsort(
+                        np.abs(margins[:, t * n_planes : (t + 1) * n_planes]),
+                        axis=1,
+                        kind="stable",
+                    )[:, :probe_bits]
+                    out[f"p{t}"] = [
+                        [int(b)] + [int(b) ^ (1 << int(p)) for p in fl]
+                        for b, fl in zip(buckets, flips)
+                    ]
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(assign, schema)
@@ -235,15 +281,32 @@ def _lsh_tables_frame(
     n_planes: int,
     dim: int,
     n_tables: int,
+    probe_bits: int = 0,
+    full_probe: bool = False,
 ):
-    """(vectors, buckets): ``vectors`` = (id, v, nrm, b0..b{T-1}) persisted —
-    both consumers (candidate join sides, exact-verify sides) reference it and
-    without the boundary CollapseProject re-inlines the plane dot products
-    into every branch; ``buckets`` = (id, t, bucket) exploded per table.
+    """(vectors, buckets, probes): ``vectors`` = (id, v, nrm, b0..b{T-1})
+    persisted — both consumers (candidate join sides, exact-verify sides)
+    reference it and without the boundary CollapseProject re-inlines the
+    plane dot products into every branch; ``buckets`` = (id, t, bucket)
+    exploded per table (the INDEX side — always the primary bucket only).
     Bucket bits come from literal expressions up to
     ``LSH_LITERAL_MAX_PLANES`` total planes and a broadcast-plane-matrix
-    mapInPandas matmul above that (the many-table/plane physical plan)."""
-    if n_planes * n_tables <= LSH_LITERAL_MAX_PLANES:
+    mapInPandas matmul above that (the many-table/plane physical plan).
+
+    ``probes`` is the QUERY side: None by default (queries probe only their
+    primary bucket, same frame as ``buckets``). With ``probe_bits > 0`` it is
+    the multi-probe expansion (primary + the ``probe_bits`` lowest-|margin|
+    single-bit flips per table; assignment always routes through the matmul
+    path, which computes the margins for free in the same BLAS call). With
+    ``full_probe`` every bucket of table 0 is probed — the candidate set is
+    the full index, making downstream top-k EXACT while still exercising the
+    real bucketed equi-join plan (the LSH counterpart of IVF's
+    n_probe == n_cells exactness pin; one table suffices since any single
+    table already covers the whole index)."""
+    use_matmul = (
+        probe_bits > 0 or n_planes * n_tables > LSH_LITERAL_MAX_PLANES
+    )
+    if not use_matmul:
         v = emb.select(
             F.col(id_col).alias("id"),
             _as_double(F.col(vec_col)).alias("v"),
@@ -253,7 +316,9 @@ def _lsh_tables_frame(
             ],
         )
     else:
-        v = _lsh_assign_matmul(emb, id_col, vec_col, n_planes, dim, n_tables)
+        v = _lsh_assign_matmul(
+            emb, id_col, vec_col, n_planes, dim, n_tables, probe_bits=probe_bits
+        )
     v = v.withColumn("nrm", _norm(F.col("v"))).persist()
     buckets = v.select(
         "id",
@@ -266,7 +331,28 @@ def _lsh_tables_frame(
             )
         ).alias("tb"),
     ).select("id", "tb.t", "tb.bucket")
-    return v, buckets
+    probes = None
+    if full_probe:
+        probes = v.select(
+            "id",
+            F.lit(0).alias("t"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit((1 << n_planes) - 1))
+            ).alias("bucket"),
+        )
+    elif probe_bits > 0:
+        probes = v.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("t"), F.col(f"p{t}").alias("pb"))
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tp"),
+        ).select("id", F.col("tp.t").alias("t"), F.explode("tp.pb").alias("bucket"))
+    return v, buckets, probes
 
 
 def cosine_similar_pairs_lsh(
@@ -297,7 +383,7 @@ def cosine_similar_pairs_lsh(
     bounded work, clusters stay connected for min-id dedup."""
     from pyspark.sql import Window
 
-    v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
+    v, buckets, _ = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
     # bucket sizes via a COUNT window on the join key (see the minhash
     # variant): one shuffle annotates sizes in place, no groupBy+rejoin
     sized = buckets.withColumn(
@@ -343,15 +429,33 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     dim: int = 64,
     n_tables: int = 4,
+    probe_bits: int = 0,
+    full_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k per vector: candidates = same-bucket pairs in ANY of
     ``n_tables`` independent hyperplane tables (L-tables LSH), then exact
-    cosine + window over the deduped candidate set. Recall measured against
-    :func:`cosine_topk` and pinned in tests/test_similarity.py (the driver's
-    rows-only check is backed by that pinned number)."""
-    v, buckets = _lsh_tables_frame(emb, id_col, vec_col, n_planes, dim, n_tables)
+    cosine + per-query top-k window over the deduped candidate set. The
+    shuffle key is (table, bucket) — the corpus never cross-joins.
+
+    ``probe_bits``: multi-probe LSH — each QUERY additionally probes the
+    buckets reached by flipping its ``probe_bits`` lowest-|margin| sign bits
+    per table (the index side stays one bucket per table, so index size is
+    unchanged; only the probe fan-out grows by probe_bits+1 per table).
+    Recall at the shipped parameters is measured against :func:`cosine_topk`
+    and pinned in tests/test_similarity.py (0.93 at n_planes=4, n_tables=4,
+    probe_bits=4 on the sf0.01 corpus vs 0.4433 single-probe).
+
+    ``full_probe``: probe every bucket of one table — the candidate set is
+    the whole index and the result is EXACT top-k (pinned by the DuckDB
+    brute-force oracle) while still exercising the real bucketed equi-join
+    physical plan; the LSH mirror of IVF's n_probe == n_cells exactness."""
+    v, buckets, probes = _lsh_tables_frame(
+        emb, id_col, vec_col, n_planes, dim, n_tables,
+        probe_bits=probe_bits, full_probe=full_probe,
+    )
+    qside = probes if probes is not None else buckets
     cand = (
-        buckets.withColumnRenamed("id", "query_id")
+        qside.withColumnRenamed("id", "query_id")
         .join(buckets.withColumnRenamed("id", "nbr_id"), ["t", "bucket"])
         .where(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id")
@@ -404,7 +508,9 @@ def ann_topk_matmul(
     ids = np.array([r[0] for r in rows])  # dtype inferred: int64 or object (str ids)
     dim = len(rows[0][1]) if rows else 0
     mat = _vectors_matrix([r[1] for r in rows], dim)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_norms[mat_norms == 0.0] = 1.0  # null/zero index vectors score 0, not nan
+    mat_n = mat / mat_norms
     bc = spark.sparkContext.broadcast((ids, mat_n))
 
     id_type = emb.schema[id_col].dataType  # passthrough: string ids work too
@@ -424,7 +530,9 @@ def ann_topk_matmul(
                 continue
             q_ids = pdf[id_col].to_numpy()
             q = _vectors_matrix(pdf[vec_col], mat_b.shape[1])
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0.0] = 1.0  # null/zero queries score 0 everywhere, not nan
+            q = q / qn
             sims = q @ mat_b.T  # (batch, index)
             out = {"query_id": [], "nbr_id": [], "cosine": [], "rk": []}
             for r in range(sims.shape[0]):
@@ -541,7 +649,12 @@ def _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe) -> DataF
                     "id": pdf[id_col],
                     # ORIGINAL vector (as float64) so downstream exact-cosine
                     # matches the other paths even if hashing padded/truncated
-                    "v": [[float(x) for x in v] for v in pdf[vec_col]],
+                    # (NULL vectors pass through as NULL: zero-row hashing
+                    # gives them a cell, their cosine stays NULL either path)
+                    "v": [
+                        None if v is None else [float(x) for x in v]
+                        for v in pdf[vec_col]
+                    ],
                     "cell": np.array(cell, dtype=np.int32),
                     "probes": probes,
                 }
@@ -588,9 +701,13 @@ def kmeans_refine_centroids(
             sums = np.zeros((cen_n.shape[0], dim), dtype=np.float64)
             counts = np.zeros(cen_n.shape[0], dtype=np.int64)
             for pdf in batches:
+                # drop NULL vectors (they carry no direction to vote with);
+                # ragged/wrong-dim vectors degrade to prefix/pad semantics
+                # via _vectors_matrix, same as the sibling matmul paths
+                pdf = pdf[pdf[vec_col].notna()]
                 if pdf.empty:
                     continue
-                q = np.array(list(pdf[vec_col]), dtype=np.float64)
+                q = _vectors_matrix(pdf[vec_col], dim)
                 qn = np.linalg.norm(q, axis=1, keepdims=True)
                 qn[qn == 0.0] = 1.0
                 cells = np.argmax((q / qn) @ cen_n.T, axis=1)

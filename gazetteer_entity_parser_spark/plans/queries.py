@@ -1244,6 +1244,22 @@ ORACLES: dict[str, str] = {
             FROM v a JOIN v b ON a.vec_id <> b.vec_id
         ) WHERE rk <= 3
     """,
+    # full-probe LSH (every bucket of a table probed) is EXACT top-k — the
+    # candidate equi-join covers the whole index — so the brute-force cosine
+    # oracle applies verbatim (same k, same id tie-break); partial/multi-probe
+    # recall is pinned separately in tests/test_similarity.py
+    "sim_ann_lsh_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(a.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ) WHERE rk <= 3
+    """,
     # full-probe IVF (n_probe == n_cells) is EXACT top-k, so the brute-force
     # cosine oracle applies verbatim (same k, same id tie-break) — for BOTH
     # assignment plans (literal expressions at n_cells=8; broadcast-matrix
@@ -1737,13 +1753,17 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 def q_sim_ann_lsh_topk(spark, sf_dir):
-    """Approximate-by-design (no oracle): the driver records a rows-only
-    check; the evidence behind it is the MEASURED recall vs exact brute-force
-    top-k pinned at these exact parameters in
-    tests/test_similarity.py::test_lsh_topk_driver_params_recall_pinned."""
+    """LSH ANN with every bucket probed (full_probe): the candidate set is
+    the full index, so the result is EXACT top-k and shares the brute cosine
+    oracle — while still exercising the real LSH physical plan (hyperplane
+    bucket assignment, (table, bucket) equi-join, top-k window); the LSH
+    mirror of sim_ann_ivf_topk's n_probe == n_cells pin. Partial-probe
+    recall at production parameters is pinned in tests/test_similarity.py::
+    test_lsh_topk_multiprobe_recall_pinned (0.93 multi-probe vs 0.4433
+    single-probe at n_planes=4, n_tables=4)."""
     from ..operators.similarity import lsh_bucketed_topk
 
-    return lsh_bucketed_topk(_emb(spark, sf_dir), k=3, n_planes=4)
+    return lsh_bucketed_topk(_emb(spark, sf_dir), k=3, n_planes=4, full_probe=True)
 
 
 def q_sim_ann_ivf_topk(spark, sf_dir):

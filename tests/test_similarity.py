@@ -163,12 +163,15 @@ def test_cosine_pairs_lsh_plan_has_no_cross_join(spark, emb):
         "BroadcastNestedLoopJoin" in _plan(cosine_similar_pairs(emb, threshold=0.9))
 
 
-def test_lsh_topk_driver_params_recall_pinned(spark):
-    """MEASURED recall for the exact parameters the driver query
-    sim_ann_lsh_topk ships (k=3, n_planes=4, n_tables=4) on the sf0.01
-    corpus. Planes are blake2b-derived and the corpus is fixed, so recall is
-    deterministic — this number is the evidence behind the driver's
-    rows-only check (cited from plans/queries.py)."""
+def test_lsh_topk_multiprobe_recall_pinned(spark):
+    """MEASURED recall at the production multi-probe parameters (k=3,
+    n_planes=4, n_tables=4, probe_bits=4: every query also probes its four
+    Hamming-1 buckets per table, least-confident sign bits first) on the
+    sf0.01 corpus. Planes are blake2b-derived and the corpus is fixed, so
+    recall is deterministic: 0.93 — vs 0.4433 single-probe at the same
+    plane/table budget (the round-3 shipped number). Random 64-dim vectors
+    are the near-orthogonal ADVERSARIAL case for hyperplane LSH; clustered
+    real-world embeddings fare better."""
     emb = (
         spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
         .repartition(8, "vec_id")
@@ -177,10 +180,65 @@ def test_lsh_topk_driver_params_recall_pinned(spark):
     brute = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=3).collect()}
     lsh = {
         (r["query_id"], r["nbr_id"])
-        for r in lsh_bucketed_topk(emb, k=3, n_planes=4).collect()
+        for r in lsh_bucketed_topk(
+            emb, k=3, n_planes=4, n_tables=4, probe_bits=4
+        ).collect()
     }
     recall = len(brute & lsh) / len(brute)
-    assert abs(recall - 0.4433) < 1e-3, recall
+    assert recall >= 0.9, recall
+    assert abs(recall - 0.93) < 1e-3, recall
+    emb.unpersist()
+
+
+def test_lsh_topk_full_probe_is_exact(spark, emb):
+    """full_probe covers every bucket of one table, so the bucketed plan must
+    reproduce brute-force top-k EXACTLY (the LSH mirror of IVF's
+    n_probe == n_cells pin; this is the plan the driver's sim_ann_lsh_topk
+    oracle checks at sf0.01)."""
+    exact = {tuple(r) for r in cosine_topk(emb, emb, k=3).collect()}
+    full = {
+        tuple(r)
+        for r in lsh_bucketed_topk(emb, k=3, n_planes=4, full_probe=True).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_topk_multiprobe_beats_single_probe(spark, emb):
+    """On the small module corpus, multi-probe recall of the true top-1
+    neighbor must strictly dominate single-probe at the same plane/table
+    budget (the whole point of probing the low-margin flips)."""
+    brute_top1 = {
+        (r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, emb, k=1).collect()
+    }
+
+    def recall(**kw):
+        got = {}
+        for r in lsh_bucketed_topk(emb, k=3, n_planes=4, **kw).collect():
+            got.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        return sum(1 for q, n in brute_top1 if n in got.get(q, set())) / len(brute_top1)
+
+    single = recall()
+    multi = recall(probe_bits=4)
+    assert multi > single
+    assert multi >= 0.75, (single, multi)
+
+
+def test_lsh_multiprobe_handles_null_and_ragged_vectors(spark):
+    """NULL embeddings must not crash the matmul assign path (they hash to
+    bucket 0 like the literal path's NULL dot) and ragged vectors degrade to
+    prefix semantics instead of raising from a ragged matmul."""
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    weird = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None).cast("array<float>"))
+        .when(F.col("vec_id") % 3 == 1, F.slice("embedding", 1, 7))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    inj = base.select("vec_id", "embedding").unionByName(weird)
+    rows = lsh_bucketed_topk(inj, k=2, n_planes=4, n_tables=4, probe_bits=2).collect()
+    assert len(rows) > 0
+    assert all(r["query_id"] != r["nbr_id"] for r in rows)
 
 
 def test_ivf_matmul_path_exact_at_full_probe(spark):
