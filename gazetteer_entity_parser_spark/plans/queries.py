@@ -1039,6 +1039,31 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM all_docs GROUP BY text HAVING count(*) > 1
     """,
+    # benchmark decontamination: LEFT JOIN against the eval set's distinct
+    # shingles reproduces the Spark broadcast-left-join + doc-keyed rollup;
+    # 3-gram shingles via two lead() windows (same chr(31) separator and
+    # distinct-within-doc semantics as the dedup family's oracles)
+    "decontaminate_scores": """
+        WITH toks AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       tok || chr(31) || lead(tok, 1) OVER w
+                           || chr(31) || lead(tok, 2) OVER w AS s
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE s IS NOT NULL
+        ),
+        bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(b.s) AS BIGINT) AS n_contaminated,
+               round(count(b.s) / count(*), 6) AS contamination_frac
+        FROM sh d LEFT JOIN bsh b ON d.s = b.s
+        GROUP BY d.doc_id
+    """,
     "dedup_ngram_jaccard": """
         WITH near AS (
             SELECT doc_id, text FROM documents
@@ -1618,6 +1643,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_decontaminate_scores(spark, sf_dir):
+    """Benchmark decontamination scores: the corpus vs an 'eval set' built
+    from every 20th document (the standard planted-contamination shape — the
+    planted docs score frac 1.0, everything else scores chance-level 3-gram
+    overlap). n=3 instead of the production n=13 so the small-vocabulary
+    test corpus produces a GRADED score distribution worth hashing; the
+    physical plan is identical at any n (broadcast benchmark shingles, one
+    corpus scan, doc-keyed count rollup)."""
+    from ..operators.decontaminate import contamination_scores
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.pmod("doc_id", F.lit(20)) == 0)
+    return contamination_scores(docs, bench, n=3)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_dedup_pairs
 
@@ -1944,6 +1984,7 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_curate_corpus": q_pipeline_curate_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "decontaminate_scores": q_decontaminate_scores,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_minhash": q_dedup_clusters_minhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -1,0 +1,139 @@
+"""Benchmark-decontamination tests: planted contamination, drop/flag modes,
+broadcast-plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.decontaminate import (
+    contamination_scores,
+    decontaminate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(100).cache()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_planted_contamination_found(spark, docs):
+    """A benchmark that IS a slice of the corpus: the sliced docs must score
+    contamination_frac == 1.0 at any n, everything independent scores < 1."""
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    scores = {r["doc_id"]: r for r in contamination_scores(docs, bench, n=5).collect()}
+    assert len(scores) == docs.count()
+    planted = [r["doc_id"] for r in bench.select("doc_id").collect()]
+    for did in planted:
+        assert scores[did]["contamination_frac"] == 1.0, scores[did]
+    # independent word-salad docs share essentially no 5-grams
+    others = [scores[d] for d in scores if d not in set(planted)]
+    assert sum(1 for r in others if r["contamination_frac"] == 0.0) > len(others) * 0.9
+
+
+def test_contaminated_span_detected_inside_longer_doc(spark, docs):
+    """A document that QUOTES a benchmark passage (prefix inclusion) is
+    partially contaminated: its frac is strictly between 0 and 1 and its
+    contaminated shingle count matches the quoted span's shingle yield."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")], ["doc_id", "text"]
+    )
+    quoted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta plus tail words here"),
+            (2, "completely unrelated words nothing shared at all today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in contamination_scores(quoted, bench, n=5).collect()}
+    # doc 1: 12 tokens -> 8 distinct 5-grams, of which the 4 inside the
+    # quoted 8-token span hit the benchmark
+    assert got[1]["n_shingles"] == 8
+    assert got[1]["n_contaminated"] == 4
+    assert got[1]["contamination_frac"] == 0.5
+    assert got[2]["n_contaminated"] == 0
+
+
+def test_drop_mode_removes_only_contaminated(spark, docs):
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    kept = decontaminate(docs, bench, n=13, mode="drop")
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    planted = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(planted)
+    # the generator plants near-duplicates in this corpus: a copy sharing a
+    # 13-token span with a benchmark doc must be dropped too — that's the
+    # point of shingle- (not id-) based decontamination. Independent Python
+    # oracle: recompute the 13-gram overlap driver-side on the sample.
+    def grams(text, n=13):
+        toks = [t for t in text.split() if t]
+        if len(toks) < n:
+            return {"\x1f".join(toks)}
+        return {"\x1f".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set()
+    for r in bench.select("text").collect():
+        bench_grams |= grams(r["text"])
+    expect_kept = {
+        r["doc_id"]
+        for r in docs.select("doc_id", "text").collect()
+        if not (grams(r["text"]) & bench_grams)
+    }
+    assert kept_ids == expect_kept
+    assert len(expect_kept) < docs.count() - len(planted)  # near-dups really dropped
+    # original schema passes through untouched
+    assert kept.columns == docs.columns
+
+
+def test_flag_mode_keeps_all_rows(spark, docs):
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    flagged = decontaminate(docs, bench, n=13, mode="flag")
+    assert flagged.count() == docs.count()
+    flagged_ids = {r["doc_id"] for r in flagged.where("contaminated").collect()}
+    planted = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    # every planted doc flagged; near-dup copies of planted docs may be too
+    assert planted <= flagged_ids
+    assert "contamination_frac" in flagged.columns
+
+
+def test_mode_validation(spark, docs):
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(docs, docs, mode="quarantine")
+
+
+def test_empty_text_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in contamination_scores(docs, bench, n=3).collect()}
+    assert got[1]["n_shingles"] == 0 and got[1]["contamination_frac"] == 0.0
+    assert got[2]["n_shingles"] == 0 and got[2]["contamination_frac"] == 0.0
+    assert got[3]["contamination_frac"] == 1.0
+
+
+def test_plan_broadcasts_benchmark_no_corpus_shuffle_on_shingles(spark, docs):
+    """The scale contract: the benchmark side is the broadcast build, the
+    corpus side never exchanges on shingle keys (its only exchange is the
+    doc-keyed count rollup)."""
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    plan = _plan(contamination_scores(docs, bench, n=13))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oversized_benchmark_refused(spark, docs):
+    import gazetteer_entity_parser_spark.operators.decontaminate as d
+
+    old = d.MAX_BENCH_SHINGLE_ROWS
+    d.MAX_BENCH_SHINGLE_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="MAX_BENCH_SHINGLE_ROWS"):
+            contamination_scores(docs, docs, n=3)
+    finally:
+        d.MAX_BENCH_SHINGLE_ROWS = old
