@@ -402,7 +402,8 @@ def simhash_near_duplicates(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 50,
+    method: str = "minlabel",
 ) -> DataFrame:
     """(doc_id, cluster_id) from pairwise near-dup edges: cluster_id is the
     MIN doc id of the connected component — i.e. the canonical keeper every
@@ -410,10 +411,14 @@ def dedup_clusters(
     pairwise dedup operators above (minhash / simhash / ngram / embedding)
     into actionable keep/drop decisions when duplicates form chains
     (A~B, B~C but A!~C must still collapse to one keeper).
-    Iterative min-label propagation — see :mod:`..operators.graph`."""
+    Iterative min-label propagation by default; ``method='star'`` routes
+    through the O(log n)-round large-star/small-star contraction for
+    long-chain graphs — see :mod:`..operators.graph`."""
     from .graph import connected_components
 
-    cc = connected_components(pairs, src=id_a, dst=id_b, max_iters=max_iters)
+    cc = connected_components(
+        pairs, src=id_a, dst=id_b, max_iters=max_iters, method=method
+    )
     return cc.select(
         F.col("entity").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -93,3 +93,105 @@ def test_components_raise_on_exhausted_iterations(spark):
     )
     with pytest.raises(RuntimeError, match="max_iters"):
         connected_components(edges, max_iters=2)
+
+
+def test_star_method_matches_minlabel_on_mixed_topology(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    minlabel = {
+        r["entity"]: r["component"] for r in connected_components(edges).collect()
+    }
+    star = {
+        r["entity"]: r["component"]
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert star == minlabel
+
+
+def test_star_converges_on_1024_path_in_log_rounds(spark):
+    """The long-chain case min-label cannot touch: a 2^10-hop path graph
+    (diameter 1023) must converge within 2*log2(n) star alternations —
+    where min-label at the same budget RAISES."""
+    n = 1024
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    budget = 20  # 2 * log2(1024)
+    got = {
+        r["entity"]: r["component"]
+        for r in connected_components(edges, method="star", max_iters=budget).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="max_iters"):
+        connected_components(edges, method="minlabel", max_iters=budget)
+
+
+def test_star_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.05
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        in_graph = {v for e in edges for v in e}
+        expected = {
+            v: min(u for u in in_graph if find(u) == find(v)) for v in in_graph
+        }
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {
+            r["entity"]: r["component"]
+            for r in connected_components(df, method="star").collect()
+        }
+        assert got == expected, f"seed {seed}"
+
+
+def test_star_string_labels_and_self_loops(spark):
+    edges = spark.createDataFrame(
+        [("B", "C"), ("A", "B"), ("X", "Y"), ("X", "X")], "src string, dst string"
+    )
+    got = {
+        r["entity"]: r["component"]
+        for r in connected_components(edges, method="star").collect()
+    }
+    assert got == {"A": "A", "B": "A", "C": "A", "X": "X", "Y": "X"}
+
+
+def test_dedup_clusters_same_under_both_methods_on_minhash_pairs(spark):
+    """The driver query's graph (minhash near-dup pairs over the sf0.001
+    corpus with planted near-dups): both component formulations must produce
+    the identical (doc_id, cluster_id) table the recursive-CTE oracle pins."""
+    from gazetteer_entity_parser_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    copies = docs.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz0 zz1")).alias("text"),
+    )
+    near = docs.select("doc_id", "text").unionByName(copies)
+    pairs = minhash_lsh_dedup_pairs(near, n_shingle=2, threshold=0.5).persist()
+    a = {tuple(r) for r in dedup_clusters(pairs).collect()}
+    b = {tuple(r) for r in dedup_clusters(pairs, method="star").collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_unknown_method_rejected(spark):
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="method"):
+        connected_components(edges, method="bfs")
