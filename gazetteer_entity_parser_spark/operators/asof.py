@@ -29,6 +29,7 @@ def asof_join(
     by: list[str] | tuple[str, ...] = ("user_id",),
     value_cols: list[str] | tuple[str, ...] = ("event_id", "value"),
     suffix: str = "_asof",
+    salt_seconds: int | None = None,
 ) -> DataFrame:
     """Backward inclusive as-of join.
 
@@ -48,6 +49,21 @@ def asof_join(
     — per-column fills would "tear" a match whose value column is
     genuinely NULL by back-filling it from an older row
     (tests/test_asof.py::test_asof_join_null_semantics).
+
+    ``salt_seconds`` is the HOT-KEY skew guard: without it the window is
+    one sort per key, so a pathological key (a bot user_id with 10^9
+    events) serializes in a single task. With it, the window partitions on
+    (key, time-bucket of width ``salt_seconds``) — each bucket sorts
+    independently and a hot key's work spreads over time buckets — and a
+    second, TINY pass computes each bucket's carry-in: the last right-row
+    payload of the nearest earlier non-empty bucket, via a per-key window
+    over (key, bucket) summary rows (cardinality = distinct buckets, not
+    events). Left rows with no in-bucket match coalesce to the carry-in.
+    Result is row-identical to the unsalted plan (pinned in
+    tests/test_asof.py) because bucket boundaries respect time order:
+    every right row in an earlier bucket is strictly earlier than every
+    left row in a later one. Pick ``salt_seconds`` so a hot key's densest
+    window fits one task (e.g. 3600 for a per-hour split).
     """
     by = list(by)
     value_cols = list(value_cols)
@@ -87,22 +103,76 @@ def asof_join(
         F.col(on).alias(f"{on}{suffix}"),
     )
     u = l_tagged.unionByName(r_tagged)
-    # right rows (tag 0) sort before left rows (tag 1) at equal `on`,
-    # making the boundary inclusive; NULL `on` left rows sort first and
-    # therefore see no (non-null-on) right row — no match, as in SQL
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(on, "_is_q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # the whole matched row rides as ONE nullable struct (atomic fill)
     payload = F.when(
         F.col("_is_q") == 0, F.struct(*[F.col(c) for c in payload_cols])
     )
+    # right rows (tag 0) sort before left rows (tag 1) at equal `on`,
+    # making the boundary inclusive; NULL `on` left rows sort first and
+    # therefore see no (non-null-on) right row — no match, as in SQL
+    if salt_seconds is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(on, "_is_q")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn("_match", F.last(payload, ignorenulls=True).over(w))
+        return filled.where(F.col("_is_q") == 1).select(
+            *left.columns,
+            *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+        )
+
+    # --- salted plan: window per (key, time bucket) + carry-in pass ---
+    s = int(salt_seconds)
+    if dict(u.dtypes)[on].startswith("timestamp"):
+        bkt = F.floor(_epoch_seconds(on) / s)
+    else:
+        bkt = F.floor(F.col(on) / s)
+    u = u.withColumn("_sbkt", bkt)
+    w = (
+        Window.partitionBy(*by, "_sbkt")
+        .orderBy(on, "_is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     filled = u.withColumn("_match", F.last(payload, ignorenulls=True).over(w))
-    return filled.where(F.col("_is_q") == 1).select(
-        *left.columns,
-        *[F.col(f"_match.{c}").alias(c) for c in payload_cols],
+    # per-(key, bucket) LAST right payload (max by time; (by, on) is unique
+    # after the dedupe above), then carry-in = last non-empty bucket's
+    # payload over STRICTLY EARLIER buckets — a window over bucket-summary
+    # rows, whose cardinality is distinct (key, bucket) combos, not events
+    bucket_last = (
+        u.where(F.col("_is_q") == 0)
+        .groupBy(*by, "_sbkt")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(on).alias("t"),
+                    F.struct(*[F.col(c) for c in payload_cols]).alias("p"),
+                )
+            ).alias("_bl")
+        )
+    )
+    all_buckets = u.select(*by, "_sbkt").distinct()
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy("_sbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        all_buckets.join(bucket_last, by + ["_sbkt"], "left")
+        .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wc))
+        .select(*by, "_sbkt", F.col("_carry.p").alias("_carry_p"))
+    )
+    return (
+        filled.where(F.col("_is_q") == 1)
+        .join(carry, by + ["_sbkt"], "left")
+        # coalesce the whole STRUCTS, never per column — a per-column
+        # coalesce would re-tear an in-bucket match whose value column is
+        # genuinely NULL by back-filling that one column from the carry-in
+        .withColumn("_m", F.coalesce(F.col("_match"), F.col("_carry_p")))
+        .select(
+            *left.columns,
+            *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+        )
     )
 
 

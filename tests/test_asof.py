@@ -199,3 +199,84 @@ def test_asof_and_range_join_randomized_vs_reference(spark):
         if ru == u and lts - _dt.timedelta(seconds=W) <= rts <= lts
     }
     assert pairs == expected
+
+
+def test_asof_join_salted_matches_unsalted_randomized(spark):
+    """The skew-guarded plan (salt_seconds) must be ROW-IDENTICAL to the
+    unsalted window plan on a randomized workload with carry-in cases:
+    left rows landing in buckets whose right match lives several (possibly
+    empty) buckets back, NULL-value matches (struct-coalesce tearing trap),
+    and NULL keys/timestamps."""
+    import random
+
+    rng = random.Random(20260817)
+    lrows, rrows = [], []
+    for i in range(150):
+        lrows.append((rng.randint(1, 4), _ts(rng.randint(0, 600)), 1000 + i))
+    for i in range(60):
+        rrows.append(
+            (rng.randint(1, 4), _ts(rng.randint(0, 600)), 2000 + i,
+             None if i % 5 == 0 else float(i))
+        )
+    lrows.append((None, _ts(10), 9000))
+    rrows.append((2, None, 9100, 1.0))
+    left = spark.createDataFrame(lrows, "user_id bigint, ts timestamp, event_id bigint")
+    right = spark.createDataFrame(
+        rrows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+    base = {tuple(r) for r in asof_join(left, right).collect()}
+    for salt in (60, 600, 3600):  # 1-minute buckets force many carry-ins
+        salted = {
+            tuple(r) for r in asof_join(left, right, salt_seconds=salt).collect()
+        }
+        assert salted == base, f"salt_seconds={salt}"
+
+
+def test_asof_join_salted_bounds_hot_key_partitions(spark):
+    """One bot key holding ~50% of all rows: the salted window partitions on
+    (key, time-bucket), so the hot key's largest sort group must shrink to
+    ~(bucket span / total span) of its rows instead of all of them — the
+    skew guard's actual contract. Results stay identical to unsalted."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):  # hot bot key 99: half the corpus, spread over 10h
+        rows.append((99, _ts(rng.randint(0, 600)), 10_000 + i))
+    for i in range(2000):  # 200 normal keys
+        rows.append((rng.randint(100, 300), _ts(rng.randint(0, 600)), 20_000 + i))
+    left = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint")
+    right = spark.createDataFrame(
+        [(u, _ts(m), 30_000 + u * 1000 + m, float(m))
+         for u in (99, 1, 2, 3) for m in (0, 100, 300)],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    salt = 3600  # 1-hour buckets over a 10-hour span
+    base = {tuple(r) for r in asof_join(left, right).collect()}
+    salted = {tuple(r) for r in asof_join(left, right, salt_seconds=salt).collect()}
+    assert salted == base
+    # bounded per-window-partition work, measured on the data itself
+    from pyspark.sql import functions as F2
+
+    sizes = (
+        left.groupBy("user_id", F2.floor(
+            F2.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)") / salt
+        ).alias("b"))
+        .count()
+    )
+    hot_max = sizes.where("user_id = 99").agg(F2.max("count")).collect()[0][0]
+    hot_total = left.where("user_id = 99").count()
+    assert hot_total == 2000
+    assert hot_max <= hot_total * 0.25, hot_max  # >=4x spread at 10 buckets
+
+
+def test_asof_join_salted_plan_partitions_window_on_bucket(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    b = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1.0).alias("value")
+    )
+    df = asof_join(a, b, salt_seconds=3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_sbkt" in plan  # the big window really partitions on the salt
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
