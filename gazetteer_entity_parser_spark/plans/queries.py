@@ -445,30 +445,39 @@ def q_events_range_join(spark, sf_dir):
 
 def q_web_url_canonical(spark, sf_dir):
     """URL canonicalization dedupe (the standard web-corpus recrawl key):
-    every 5th page re-arrives under a messy variant URL (upper-case
-    scheme/host, explicit default port, utm params, fragment, trailing
-    slash); canonicalization must collapse each variant onto its clean
-    original — emitted as the canonical forms with more than one variant.
+    every 5th page re-arrives under TWO messy variant URLs — one with
+    reordered query params plus a utm tracker, one with upper-case
+    scheme/host, explicit default port, a percent-encoded param key
+    (%61 = 'a'), trailing slash and fragment. Canonicalization
+    (sort_query=True) must collapse each variant PAIR onto one canonical
+    form — emitted as the canonical forms with more than one variant.
     Pure regexp codegen; see sources/webpages.py:canonical_url."""
     from ..sources.webpages import canonical_url, webpages_from_documents
 
     docs = _docs(spark, sf_dir)
     pages = webpages_from_documents(docs).select("url")
-    messy = (
-        docs.where(F.pmod("doc_id", F.lit(5)) == 0)
-        .select(
-            F.concat(
-                F.lit("HTTPS://Example.ORG:443/"),
-                F.col("source"),
-                F.lit("/"),
-                F.col("doc_id"),
-                F.lit("/?utm_source=feed&utm_campaign=x#frag"),
-            ).alias("url")
-        )
+    fifth = docs.where(F.pmod("doc_id", F.lit(5)) == 0)
+    messy1 = fifth.select(
+        F.concat(
+            F.lit("https://example.org/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id"),
+            F.lit("?b=2&a=1&utm_source=feed"),
+        ).alias("url")
+    )
+    messy2 = fifth.select(
+        F.concat(
+            F.lit("HTTPS://Example.ORG:443/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id"),
+            F.lit("/?%61=1&b=2&utm_c%61mpaign=x#frag"),
+        ).alias("url")
     )
     return (
-        pages.unionByName(messy)
-        .select(canonical_url("url").alias("canonical_url"))
+        pages.unionByName(messy1).unionByName(messy2)
+        .select(canonical_url("url", sort_query=True).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(F.count("*").alias("n_variants"))
         .where(F.col("n_variants") > 1)
@@ -652,6 +661,19 @@ mentions AS (
            v.rank AS rank
     FROM toks t JOIN vocab v ON t.token = v.raw_value
 )"""
+
+
+def _percent_sql(expr: str) -> str:
+    """Render the shared percent-normalization chain (sources/webpages.py::
+    percent_normalize_steps) as nested DuckDB regexp_replace calls — same
+    patterns, RE2 '\\1' backrefs instead of Spark's '$1', explicit 'g'
+    flag (DuckDB replaces only the first match by default)."""
+    from ..sources.webpages import percent_normalize_steps
+
+    for pat, rep in percent_normalize_steps():
+        rep = rep.replace("$1", "\\1")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
 
 
 ORACLES: dict[str, str] = {
@@ -946,24 +968,32 @@ ORACLES: dict[str, str] = {
     # identical canonicalization pipeline, member for member (lower
     # scheme/host, default-port drop, utm filter, fragment drop, trailing
     # slash trim) — all regexps dialect-portable between Java and RE2
-    "web_url_canonical": """
-        WITH pages AS (
+    # percent-normalization chain + list_sort(query params) mirror the Spark
+    # sort_query=True canonicalizer; the chain is GENERATED from the same
+    # (pattern, replacement) table the Spark expression uses (_percent_sql)
+    "web_url_canonical": f"""
+        WITH raw AS (
             SELECT 'https://example.org/' || source || '/' || doc_id AS url
             FROM documents
             UNION ALL
+            SELECT 'https://example.org/' || source || '/' || doc_id
+                   || '?b=2&a=1&utm_source=feed' AS url
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
             SELECT 'HTTPS://Example.ORG:443/' || source || '/' || doc_id
-                   || '/?utm_source=feed&utm_campaign=x#frag' AS url
+                   || '/?%61=1&b=2&utm_c%61mpaign=x#frag' AS url
             FROM documents WHERE doc_id % 5 = 0
         ),
+        pages AS (SELECT url, {_percent_sql('url')} AS norm FROM raw),
         parts AS (
             -- COALESCE: DuckDB regexp_extract yields NULL on no-match where
             -- Spark yields '' — without it one NULL poisons the whole concat
             SELECT url,
-                   lower(COALESCE(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
-                   lower(COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:@]*)', 1), '')) AS host,
-                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/?#:@]*):([0-9]+)(?:[/?#]|$)', 1), '') AS port,
-                   COALESCE(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
-                   COALESCE(regexp_extract(url, '^[^#]*?\\?([^#]*)', 1), '') AS query
+                   lower(COALESCE(regexp_extract(norm, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1), '')) AS scheme,
+                   lower(COALESCE(regexp_extract(norm, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:@]*)', 1), '')) AS host,
+                   COALESCE(regexp_extract(norm, '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?(?:\\[[^\\]/?#]*\\]|[^/?#:@]*):([0-9]+)(?:[/?#]|$)', 1), '') AS port,
+                   COALESCE(regexp_extract(norm, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1), '') AS path,
+                   COALESCE(regexp_extract(norm, '^[^#]*?\\?([^#]*)', 1), '') AS query
             FROM pages
         ),
         canon AS (
@@ -976,8 +1006,8 @@ ORACLES: dict[str, str] = {
                            THEN '/' ELSE regexp_replace(path, '/+$', '') END
                    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
                    END AS canonical_url
-            FROM (SELECT *, COALESCE(array_to_string(list_filter(string_split(query, '&'),
-                      p -> NOT starts_with(p, 'utm_') AND p <> ''), '&'), '') AS cq
+            FROM (SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS cq
                   FROM parts)  -- COALESCE: array_to_string([]) is NULL here
         )
         SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants

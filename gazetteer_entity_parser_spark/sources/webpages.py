@@ -77,33 +77,80 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"^[^#]*?\?([^#]*)"
 
 
-def canonical_url(url) -> "F.Column":
+# RFC-3986 unreserved characters: percent-escapes of these are semantically
+# identical to the bare character, so a canonicalizer must decode them
+# ('%7E' vs '~' recrawl variants are the same page). Everything else stays
+# encoded — decoding reserved escapes (%2F, %3F, %26...) would CHANGE the
+# URL's structure.
+_UNRESERVED_CODES = tuple(
+    [f"{b:02X}" for b in range(0x30, 0x3A)]  # 0-9
+    + [f"{b:02X}" for b in range(0x41, 0x5B)]  # A-Z
+    + [f"{b:02X}" for b in range(0x61, 0x7B)]  # a-z
+    + ["2D", "2E", "5F", "7E"]  # - . _ ~
+)
+
+
+def percent_normalize_steps() -> list[tuple[str, str]]:
+    """(pattern, replacement) chain shared by the Spark expression and the
+    DuckDB oracle SQL (replacement backrefs use Spark's ``$1``; the SQL
+    renderer swaps them to RE2's ``\\1``). Order matters: first uppercase
+    every escape's hex digits (two passes — first digit, then second — so
+    '%ab' -> '%Ab' -> '%AB'), then decode unreserved escapes with
+    single-case patterns. '%25' (the escape char itself) is reserved and
+    stays encoded, so decoding cannot cascade."""
+    steps = []
+    for d in "abcdef":
+        steps.append((f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1"))
+    for d in "abcdef":
+        steps.append((f"%([0-9A-F]){d}", f"%$1{d.upper()}"))
+    for code in _UNRESERVED_CODES:
+        steps.append((f"%{code}", chr(int(code, 16))))
+    return steps
+
+
+def percent_normalize(col) -> "F.Column":
+    """Percent-encoding normalization (safe on the WHOLE url, pre-parse:
+    unreserved characters are never delimiters, so decoding them cannot
+    move a component boundary; reserved escapes only get their hex
+    uppercased)."""
+    for pat, rep in percent_normalize_steps():
+        col = F.regexp_replace(col, pat, rep)
+    return col
+
+
+def canonical_url(url, sort_query: bool = False) -> "F.Column":
     """Canonical form of a crawled URL — the standard web-corpus dedupe key:
     lowercase scheme and host, drop default ports (http:80 / https:443),
-    drop the fragment, strip ``utm_*`` tracking params (other params kept,
-    original order preserved), and trim trailing slashes from the path
-    ('' path renders as '/'). Pure regexp/array built-ins, whole-stage
-    codegen, and every regexp is dialect-portable so the DuckDB oracle
-    applies the identical transformation."""
+    drop the fragment, strip ``utm_*`` tracking params (other params kept),
+    normalize percent-encoding (decode unreserved escapes, uppercase the
+    remaining hex — see :func:`percent_normalize_steps`), and trim trailing
+    slashes from the path ('' path renders as '/'). ``sort_query=True``
+    additionally sorts the surviving query params bytewise so recrawl
+    variants differing only in param ORDER collapse (opt-in: param order
+    can be semantic for some endpoints, so the default preserves it).
+    Pure regexp/array built-ins, whole-stage codegen, and every regexp is
+    dialect-portable so the DuckDB oracle applies the identical
+    transformation."""
     url = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    port = F.regexp_extract(url, _PORT_RE, 1)
-    path = F.regexp_extract(url, _PATH_RE, 1)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    norm = percent_normalize(url)
+    scheme = F.lower(F.regexp_extract(norm, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(norm, _HOST_RE, 1))
+    port = F.regexp_extract(norm, _PORT_RE, 1)
+    path = F.regexp_extract(norm, _PATH_RE, 1)
+    query = F.regexp_extract(norm, _QUERY_RE, 1)
     keep_port = F.when(
         (port == "")
         | ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443")),
         F.lit(""),
     ).otherwise(F.concat(F.lit(":"), port))
-    clean_q = F.array_join(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (~p.startswith("utm_")) & (p != ""),
-        ),
-        "&",
+    kept_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
     )
+    if sort_query:
+        kept_params = F.array_sort(kept_params)
+    clean_q = F.array_join(kept_params, "&")
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     canon = F.concat(

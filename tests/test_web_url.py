@@ -39,6 +39,18 @@ from gazetteer_entity_parser_spark.sources.webpages import canonical_url
         # non-URL inputs pass through unchanged (no ':///' collapse)
         ("not a url", "not a url"),
         ("mailto:a@b.example", "mailto:a@b.example"),
+        # percent-encoding: unreserved escapes decode (%7E = ~, %61 = a,
+        # %2D = -), in either hex case
+        ("https://example.org/%7Euser/page", "https://example.org/~user/page"),
+        ("https://example.org/%7euser", "https://example.org/~user"),
+        ("https://example.org/a%2Db?x=%41%30", "https://example.org/a-b?x=A0"),
+        # reserved escapes stay ENCODED but their hex uppercases
+        ("https://example.org/a%2fb", "https://example.org/a%2Fb"),
+        ("https://example.org/x?q=1%3a2", "https://example.org/x?q=1%3A2"),
+        # %25 (escape char) never decodes — '%2541' must NOT cascade to 'A'
+        ("https://example.org/100%2541", "https://example.org/100%2541"),
+        # malformed escapes untouched
+        ("https://example.org/50%zz", "https://example.org/50%zz"),
     ],
 )
 def test_canonical_url_cases(spark, raw, expected):
@@ -57,3 +69,49 @@ def test_canonical_url_pure_codegen(spark):
     )
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_canonical_url_sort_query_collapses_reordered_params(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://example.org/x?b=2&a=1&utm_source=s",),
+            ("https://example.org/x?a=1&b=2",),
+            ("HTTPS://Example.ORG:443/x/?%61=1&b=2#f",),
+        ],
+        "url string",
+    )
+    got = {
+        r["c"]
+        for r in df.select(canonical_url("url", sort_query=True).alias("c")).collect()
+    }
+    assert got == {"https://example.org/x?a=1&b=2"}
+    # default preserves order: the first two do NOT collapse
+    unsorted = {
+        r["c"] for r in df.select(canonical_url("url").alias("c")).collect()
+    }
+    assert "https://example.org/x?b=2&a=1" in unsorted
+
+
+def test_percent_steps_spark_matches_duckdb(spark):
+    """The same (pattern, replacement) table must behave identically through
+    Spark regexp_replace and DuckDB regexp_replace(…, 'g') — the contract
+    the generated oracle chain relies on."""
+    import duckdb
+
+    from gazetteer_entity_parser_spark.plans.queries import _percent_sql
+    from gazetteer_entity_parser_spark.sources.webpages import percent_normalize
+
+    cases = [
+        "https://e.org/%7Eu/%61%42c?x=%2f%3A&y=%zz%25%2541",
+        "http://h/%2d%2E%5f%7e%30%39%41%5a%61%7a",
+        "no percents at all",
+        "%G1%1g%%41",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "u string")
+    spark_out = [r["n"] for r in sdf.select(percent_normalize("u").alias("n")).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.execute(f"SELECT {_percent_sql('?::VARCHAR')}", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert spark_out == duck_out
