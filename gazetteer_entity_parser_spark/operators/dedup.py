@@ -178,6 +178,13 @@ def minhash_lsh_candidates(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # the chain branch only enters the plan when a hot bucket actually
+    # exists: one cheap reduce over the (persisted-anyway) sized frame —
+    # an always-present empty branch cost ~0.6s/run in fixed stage
+    # overhead (empty window sort + sig rejoin + union) on the driver bench
+    max_seen = sized.agg(F.max("_bsz")).first()[0]
+    if max_seen is None or max_seen <= max_bucket_size:
+        return pairs_small.distinct()
     # chain order: full signature first (clusters group together), id second
     # (deterministic); hot rows are few, so the sig rejoin is cheap
     w = Window.partitionBy("band", "bucket").orderBy("sig", "id")

@@ -254,9 +254,18 @@ def merge_into_parquet(
         os.rename(target_path, f"{target_path}.old-{uuid.uuid4().hex[:8]}")
     _swap_symlink(target_path, new_version)
 
-    # prune superseded versions and old-scheme leftovers
+    # prune superseded versions and old-scheme leftovers — but RETAIN the
+    # generation the symlink pointed at before this swap: a concurrent
+    # reader that resolved the symlink just before the swap may still be
+    # scanning those files. One retained generation gives readers a full
+    # merge-cycle grace window (it is pruned by the NEXT merge); anything
+    # older is unreachable by any reader newer than two merges ago.
+    # Single-writer contract unchanged (concurrent MERGES still race).
+    keep = {os.path.abspath(new_version)}
+    if current_version is not None:
+        keep.add(os.path.abspath(current_version))
     for v in _version_dirs(target_path):
-        if os.path.abspath(v) != os.path.abspath(new_version):
+        if os.path.abspath(v) not in keep:
             shutil.rmtree(v, ignore_errors=True)
     parent = os.path.dirname(os.path.abspath(target_path)) or "."
     base = os.path.basename(target_path)

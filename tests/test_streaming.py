@@ -518,3 +518,40 @@ def test_streaming_dedup_digest_distinguishes_nulls(spark, tmp_path):
     kept = spark.read.parquet(out_dir)
     assert kept.count() == 4  # only the true duplicate dropped
     assert sorted(r["url"] for r in kept.collect())[:4] == ["u1", "u2", "u3", "u4"]
+
+
+def test_merge_retains_one_superseded_generation(spark, tmp_path):
+    """Reader grace window (r3 ADVICE): the version the symlink pointed at
+    BEFORE the swap survives the merge that supersedes it (a concurrent
+    reader that resolved the symlink pre-swap may still be scanning it) and
+    is pruned by the NEXT merge; nothing older than one generation is kept."""
+    import os
+
+    from gazetteer_entity_parser_spark.sources.sinks import (
+        _version_dirs,
+        merge_into_parquet,
+    )
+
+    target = str(tmp_path / "store")
+    schema = (
+        "subj string, pred string, obj string, weight bigint, "
+        "subj_rank bigint, obj_rank bigint"
+    )
+
+    def batch(tok, w):
+        df = spark.createDataFrame([("E0", "p", "F0", w, 0, 1)], schema)
+        assert merge_into_parquet(spark, target, df, commit_token=tok, n_buckets=4)
+
+    batch("0", 1)
+    v1 = os.path.realpath(target)
+    batch("1", 1)
+    v2 = os.path.realpath(target)
+    dirs = {os.path.abspath(d) for d in _version_dirs(target)}
+    assert v1 in dirs and v2 in dirs and len(dirs) == 2  # v1 retained
+    # the retained generation is still a complete, readable store snapshot
+    assert spark.read.parquet(v1).count() == 1
+    batch("2", 1)
+    v3 = os.path.realpath(target)
+    dirs = {os.path.abspath(d) for d in _version_dirs(target)}
+    assert dirs == {v2, v3}  # v1 pruned by the following merge, v2 retained
+    assert spark.read.parquet(target).collect()[0]["weight"] == 3
