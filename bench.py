@@ -17,6 +17,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench_sim_ann_lsh_multiprobe(spark, sf_dir):
+    """Production multi-probe LSH ANN (probe_bits=4, recall 0.93 pinned) —
+    replaces the pre-r4 single-probe line (recall 0.4433 was not a
+    production configuration; the driver's sim_ann_lsh_topk is now the
+    full-probe EXACTNESS pin and belongs in the correctness gate, not a
+    throughput bench)."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(32, "vec_id")
+    return lsh_bucketed_topk(emb, k=3, n_planes=4, n_tables=4, probe_bits=4)
+
+
+def _bench_build_gazetteer_distributed(spark, sf_dir):
+    """The DataFrame gazetteer build above the 100k collect cutoff (r3
+    verdict #8: previously correctness-pinned but never timed): a 150k-row
+    deterministic synthetic gazetteer through build_registry_distributed's
+    DataFrame path (small_gazetteer_rows=0 forces it). Returns a 1-row
+    frame carrying the entity count so the harness's .count() contract
+    holds."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.sources.builder_job import (
+        build_registry_distributed,
+    )
+
+    gaz = spark.range(150_000).select(
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), F.pmod("id", F.lit(997))),
+            F.concat(F.lit("x"), F.pmod("id", F.lit(89))),
+            F.concat(F.lit("ent"), F.col("id")),
+        ).alias("raw_value"),
+        F.concat(F.lit("ENT_"), F.col("id")).alias("resolved_value"),
+        F.col("id").alias("rank"),
+    )
+    reg = build_registry_distributed(gaz, small_gazetteer_rows=0)
+    assert len(reg.resolved) == 150_000
+    return spark.range(len(reg.resolved)).limit(1)
+
+
+# bench-only callables (not driver queries: the multi-probe ANN is
+# approximate-by-design — its recall evidence lives in pytest — and the
+# distributed build returns a Registry, not a relation)
+EXTRA_QUERIES = {
+    "sim_ann_lsh_multiprobe_topk": _bench_sim_ann_lsh_multiprobe,
+    "build_gazetteer_150k_distributed": _bench_build_gazetteer_distributed,
+}
+
+
 def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
     from gazetteer_entity_parser_spark.plans import queries as Q
     from gazetteer_entity_parser_spark.session import build_session
@@ -35,12 +86,16 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "dedup_simhash",
             "dedup_embedding_cosine",  # round 3: bucketed-LSH default (the
             # scale path) — benched now that it no longer cross-joins
-            "sim_ann_lsh_topk",  # scale-path self-ANN (bucketed, no driver
-            # collect); matmul-ANN (small-index contract) and brute-force
-            # cosine_topk stay oracle-checked at sf0.01 in the correctness gate
+            "sim_ann_lsh_multiprobe_topk",  # round 4: production multi-probe
+            # config (recall 0.93 pinned) replaces the r3 single-probe line;
+            # the driver's sim_ann_lsh_topk became the full-probe exactness
+            # pin and lives in the correctness gate
+            "decontaminate_scores",  # round 4: broadcast eval-shingle scan
             "text_quality_scores",
             "text_fingerprint",
             "media_features_full",
+            "build_gazetteer_150k_distributed",  # round 4: DataFrame build
+            # path above the collect cutoff (r3 verdict #8)
         ]
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
@@ -51,7 +106,7 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
         timings: dict[str, float] = {}
         counts: dict[str, int] = {}
         for name in names:
-            fn = Q.QUERIES[name]
+            fn = EXTRA_QUERIES.get(name) or Q.QUERIES[name]
             best = None
             for _ in range(max(best_of, 1)):
                 t0 = time.perf_counter()
