@@ -1,0 +1,134 @@
+"""Deterministic hash sampling and dataset splitting for training-data
+pipelines.
+
+Every pretraining run needs reproducible corpus subsampling (domain/source
+mixture weighting a la CCNet/Llama data recipes) and stable
+train/validation/test splits that survive re-runs, repartitioning, and
+incremental ingest. Spark's ``df.sample`` is NOT that tool: it is
+partition-RNG based, so the selected set changes with partitioning and
+seed-plumbing, and it cannot be reproduced by another engine for a
+correctness oracle.
+
+These operators key every decision on ``md5(seed || US || key-columns)``:
+
+- **pure map-side codegen** — a filter/CASE over a hash of the row's own
+  key columns; NO shuffle, NO RNG state, NO driver coordination at any
+  scale (the 100 TB plan is scan -> filter, full stop);
+- **stable** — a document keeps its sample/split fate across re-runs,
+  cluster sizes, and table layouts, because the fate is a pure function of
+  (seed, key);
+- **cross-engine exact** — md5 renders as lowercase hex in both Spark and
+  DuckDB, and a fixed-length lowercase-hex string compares lexicographically
+  exactly as the underlying 128-bit integer compares numerically, so the
+  threshold test is portable SQL and the driver oracle replays it verbatim.
+
+Threshold construction: ``fraction p`` maps to the 16-hex-digit prefix of
+``floor(p * 16^16)`` (driver-side Python integer math, no float rounding
+beyond one ulp of p itself); a row is kept iff its hash prefix is
+lexicographically below the threshold. Uniformity comes from md5's output
+distribution; the acceptance error vs the exact fraction is < 16^-16.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US = "\x1f"  # unit separator: unambiguous multi-column key join
+_HEX_DIGITS = 16  # compare on the first 64 bits of the md5
+
+
+def _hex_threshold(fraction: float) -> str:
+    """16-hex-digit threshold such that P[md5-prefix < threshold] ==
+    fraction (to within 16^-16). Pure integer math; clamps to [0, 1]."""
+    fraction = min(max(float(fraction), 0.0), 1.0)
+    scaled = int(fraction * (1 << (4 * _HEX_DIGITS)))
+    scaled = min(scaled, (1 << (4 * _HEX_DIGITS)))
+    if scaled >= 1 << (4 * _HEX_DIGITS):
+        return "g"  # lexicographically above every hex string: keep all
+    return format(scaled, f"0{_HEX_DIGITS}x")
+
+
+def _hash_prefix(key_cols: list[str], seed: int) -> Column:
+    """First 16 hex chars of md5(seed || US || key...) — the row's uniform
+    draw in [0, 1) as a fixed-width lowercase-hex string."""
+    parts = [F.lit(str(int(seed)))] + [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws(_US, *parts)), 1, _HEX_DIGITS)
+
+
+def sample_hash(
+    docs: DataFrame,
+    fraction: float,
+    key_cols: list[str] | tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by row key. All columns
+    pass through. A row with a NULL key column hashes on the empty string
+    (concat_ws skips NULLs) — deterministic like everything else, but give
+    every row a real key if NULL keys are common."""
+    return docs.where(_hash_prefix(list(key_cols), seed) < _hex_threshold(fraction))
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_cols: list[str] | tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (the data-mixture recipe: 'keep 100% of
+    wikipedia, 8% of common-crawl'): each stratum value gets its own
+    threshold via a literal CASE chain (``rates`` is a recipe — tens of
+    entries, never data-sized; for a data-sized rate table, join it and
+    call :func:`sample_hash` per partition of the rate space instead).
+    Unknown strata keep ``default_rate``. NULL strata fall to the default.
+    Still a pure map-side filter."""
+    u = _hash_prefix(list(key_cols), seed)
+    thr = F.lit(_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == value, F.lit(_hex_threshold(rate))).otherwise(thr)
+    return docs.where(u < thr)
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str] | tuple[str, ...] = ("doc_id",),
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'...) with the
+    given weights — disjoint, exhaustive, stable across re-runs and
+    engines. Weights must sum to ~1 (validated); labels are assigned by
+    cumulative-weight intervals over the row's hash draw, in sorted label
+    order so the mapping is independent of dict insertion order."""
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"hash_split weights must sum to 1.0 (got {total}); "
+            "renormalize the recipe explicitly"
+        )
+    u = _hash_prefix(list(key_cols), seed)
+    cum = 0.0
+    expr = None
+    labels = sorted(weights)
+    for label in labels[:-1]:
+        cum += weights[label]
+        cond = u < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return docs.withColumn(split_col, expr)
+
+
+def sample_sql(
+    fraction: float, key_sql: str = "doc_id", seed: int = 0
+) -> str:
+    """The DuckDB-portable predicate equivalent to :func:`sample_hash` —
+    exposed so oracles (and any other engine) replay the identical
+    decision: ``substring(md5(...), 1, 16) < '<threshold>'``."""
+    return (
+        f"substring(md5('{int(seed)}' || chr(31) || CAST({key_sql} AS VARCHAR)), "
+        f"1, {_HEX_DIGITS}) < '{_hex_threshold(fraction)}'"
+    )

@@ -1069,6 +1069,13 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM all_docs GROUP BY text HAVING count(*) > 1
     """,
+    # deterministic hash sampling: md5 hex prefix vs a driver-computed
+    # threshold string — fixed-width lowercase hex compares exactly like the
+    # underlying integer in BOTH engines, so the oracle replays the decision
+    # verbatim (thresholds generated by the same _hex_threshold the Spark
+    # operator uses; see _sampling_thresholds below)
+    "sample_stratified": None,  # filled in after the dict literal (f-string)
+    "corpus_split_counts": None,
     # benchmark decontamination: LEFT JOIN against the eval set's distinct
     # shingles reproduces the Spark broadcast-left-join + doc-keyed rollup;
     # 3-gram shingles via two lead() windows (same chr(31) separator and
@@ -1585,6 +1592,38 @@ ORACLES: dict[str, str] = {
 
 # composed corpus-cleaning oracle: the component oracles' SQL verbatim, with
 # the dedup-kept corpus substituted for the raw documents table
+def _sampling_oracles() -> None:
+    """Generate the sampling oracles from the SAME threshold function and
+    the SAME float accumulation the Spark operators use — 0.1 + 0.8 is
+    0.9000000000000001 in IEEE, so an independently hand-written '0.9'
+    threshold would disagree in the last hex digits."""
+    from ..operators.sampling import _hex_threshold
+
+    u = "substring(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16)"
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{_hex_threshold(v)}'" for k, v in sorted(rates.items())
+    )
+    ORACLES["sample_stratified"] = f"""
+        SELECT doc_id, source FROM documents
+        WHERE {u} < CASE source {cases} ELSE '{_hex_threshold(0.1)}' END
+    """
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = sorted(weights)
+    cum, conds = 0.0, []
+    for label in labels[:-1]:
+        cum += weights[label]
+        conds.append(f"WHEN {u} < '{_hex_threshold(cum)}' THEN '{label}'")
+    ORACLES["corpus_split_counts"] = f"""
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM (
+            SELECT CASE {' '.join(conds)} ELSE '{labels[-1]}' END AS split
+            FROM documents
+        ) GROUP BY split
+    """
+
+
+_sampling_oracles()  # overwrites the None placeholders in the dict literal
+
 ORACLES["pipeline_clean_corpus"] = f"""
     WITH all_docs AS (
         SELECT doc_id, text FROM documents
@@ -1670,6 +1709,36 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
     return ngram_jaccard_pairs(
         _docs_with_near_dups(spark, sf_dir), n_shingle=2, threshold=0.5
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified corpus sampling (the data-mixture recipe:
+    per-source keep rates, hash-keyed so the selected set is stable across
+    re-runs/partitionings and replayable by another engine). Pure map-side
+    codegen filter — no shuffle at any scale. Rates: src0 keeps all, src1
+    half, src2 a quarter, everything else 10%."""
+    from ..operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir),
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        stratum_col="source",
+        seed=7,
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+def q_corpus_split_counts(spark, sf_dir):
+    """Stable train/val/test assignment (0.8/0.1/0.1) + per-split counts:
+    the split label is a pure function of (seed, doc_id), so incremental
+    ingest and re-runs never migrate a document between splits."""
+    from ..operators.sampling import hash_split
+
+    return (
+        hash_split(_docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 
@@ -2035,4 +2104,6 @@ QUERIES = {
     "media_features_full": q_media_features_full,
     "media_resize": q_media_resize,
     "media_frame_plan": q_media_frame_plan,
+    "sample_stratified": q_sample_stratified,
+    "corpus_split_counts": q_corpus_split_counts,
 }

@@ -1,0 +1,116 @@
+"""Deterministic hash sampling / splitting: stability, accuracy, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.sampling import (
+    _hex_threshold,
+    hash_split,
+    sample_hash,
+    sample_stratified,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_hex_threshold_edges():
+    assert _hex_threshold(0.0) == "0000000000000000"
+    assert _hex_threshold(1.0) == "g"  # above every hex string: keep all
+    assert _hex_threshold(0.5) == "8000000000000000"
+    assert _hex_threshold(1.0 / 16) == "1000000000000000"
+
+
+def test_sample_fraction_accuracy_and_determinism(spark):
+    n = 20_000
+    big = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = sample_hash(big, 0.25, seed=3).count()
+    # md5 uniformity: binomial(20000, 0.25) has sd ~61; allow 5 sd
+    assert abs(got - n * 0.25) < 5 * 61, got
+    # exact same SET on a different partitioning (partition-RNG samplers fail this)
+    a = {r["doc_id"] for r in sample_hash(big, 0.25, seed=3).collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_hash(big.repartition(13), 0.25, seed=3).collect()
+    }
+    assert a == b
+    # a different seed draws a genuinely different set
+    c = {r["doc_id"] for r in sample_hash(big, 0.25, seed=4).collect()}
+    assert a != c
+
+
+def test_sample_is_monotone_in_fraction(spark):
+    """The kept set at a smaller fraction is a SUBSET of the kept set at a
+    larger one (same seed) — the property that makes downsampling an
+    already-sampled corpus consistent."""
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    small = {r["doc_id"] for r in sample_hash(big, 0.1, seed=1).collect()}
+    large = {r["doc_id"] for r in sample_hash(big, 0.4, seed=1).collect()}
+    assert small <= large
+
+
+def test_stratified_rates(spark, docs):
+    out = sample_stratified(
+        docs, rates={"src0": 1.0}, stratum_col="source", seed=5, default_rate=0.0
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    src0 = {r["doc_id"] for r in docs.where("source = 'src0'").collect()}
+    assert kept == src0  # rate 1.0 keeps every src0 row, default 0.0 drops rest
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    n = 10_000
+    big = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = hash_split(big, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # exhaustive
+    assert abs(counts["train"] - 8000) < 5 * 40
+    assert abs(counts["val"] - 1000) < 5 * 32
+    assert abs(counts["test"] - 1000) < 5 * 32
+    # stability: a smaller table (incremental-ingest prefix) assigns every
+    # shared doc the SAME split
+    prefix = hash_split(
+        big.where("doc_id < 1000"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=2
+    )
+    full = {r["doc_id"]: r["split"] for r in out.where("doc_id < 1000").collect()}
+    assert {r["doc_id"]: r["split"] for r in prefix.collect()} == full
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    big = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(big, {"train": 0.8, "val": 0.1})
+
+
+def test_sampling_matches_duckdb_predicate(spark):
+    """sample_sql's predicate must select the IDENTICAL set DuckDB-side —
+    the cross-engine contract the driver oracles rely on."""
+    import duckdb
+
+    from gazetteer_entity_parser_spark.operators.sampling import sample_sql
+
+    big = spark.range(3000).select(F.col("id").alias("doc_id"))
+    spark_ids = {r["doc_id"] for r in sample_hash(big, 0.3, seed=11).collect()}
+    duck_ids = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM range(3000) t(doc_id) WHERE {sample_sql(0.3, seed=11)}"
+        ).fetchall()
+    }
+    assert spark_ids == duck_ids
+
+
+def test_sampling_plan_is_pure_filter(spark, docs):
+    plan = (
+        sample_stratified(docs, rates={"src0": 0.5}, seed=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # no shuffle: scan -> filter, full stop
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in plan
