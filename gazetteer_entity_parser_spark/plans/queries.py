@@ -1624,6 +1624,75 @@ def _sampling_oracles() -> None:
 
 _sampling_oracles()  # overwrites the None placeholders in the dict literal
 
+
+def _shingle13_sql(name: str, src: str) -> str:
+    """CTE text: distinct 13-token shingles of ``src`` (doc_id, text) —
+    lead()-chain n-grams PLUS the whole-doc fallback shingle for docs with
+    fewer than 13 tokens, mirroring token_shingles' `when(size < n)` arm
+    (a sub-13-token doc still leaks if it appears verbatim in the eval
+    set)."""
+    leads = " || chr(31) || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, 13)]
+    )
+    return f"""
+        {name} AS (
+            SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, {leads} AS s
+                FROM (
+                    SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+                    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM {src})
+                ) WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE s IS NOT NULL
+            UNION
+            SELECT doc_id, array_to_string(string_split(text, ' '), chr(31)) AS s
+            FROM {src} WHERE len(string_split(text, ' ')) < 13
+        )"""
+
+
+def _pipeline_pretrain_oracle() -> None:
+    """Composed oracle for q_pipeline_pretrain_corpus: kept (exact-dedup
+    min-id) -> NOT EXISTS shared-13-gram with the eval slice -> stratified
+    sample CASE -> split CASE; thresholds from the SAME _hex_threshold and
+    float accumulation as the Spark operators (see _sampling_oracles)."""
+    from ..operators.sampling import _hex_threshold
+
+    u = "substring(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16)"
+    rates = {"src0": 1.0, "src1": 0.5}
+    rate_cases = " ".join(
+        f"WHEN '{k}' THEN '{_hex_threshold(v)}'" for k, v in sorted(rates.items())
+    )
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    labels = sorted(weights)
+    cum, conds = 0.0, []
+    for label in labels[:-1]:
+        cum += weights[label]
+        conds.append(f"WHEN {u} < '{_hex_threshold(cum)}' THEN '{label}'")
+    ORACLES["pipeline_pretrain_corpus"] = f"""
+        WITH kept AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+            USING (doc_id)
+        ),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        {_shingle13_sql('dsh', 'kept')},
+        {_shingle13_sql('bsh_raw', 'bench')},
+        bsh AS (SELECT DISTINCT s FROM bsh_raw),
+        decon AS (
+            SELECT k.* FROM kept k
+            WHERE NOT EXISTS (
+                SELECT 1 FROM dsh s JOIN bsh b ON s.s = b.s
+                WHERE s.doc_id = k.doc_id
+            )
+        )
+        SELECT doc_id, source,
+               CASE {' '.join(conds)} ELSE '{labels[-1]}' END AS split
+        FROM decon
+        WHERE {u} < CASE source {rate_cases} ELSE '{_hex_threshold(0.3)}' END
+    """
+
+
+_pipeline_pretrain_oracle()
+
 ORACLES["pipeline_clean_corpus"] = f"""
     WITH all_docs AS (
         SELECT doc_id, text FROM documents
@@ -1740,6 +1809,33 @@ def q_corpus_split_counts(spark, sf_dir):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def q_pipeline_pretrain_corpus(spark, sf_dir):
+    """End-to-end pretraining-corpus preparation — the composition a real
+    data pipeline runs nightly: exact dedup (min-id keeper) -> benchmark
+    decontamination (drop any doc sharing a 13-gram with the eval slice,
+    incl. the whole-doc fallback shingle for sub-13-token docs) ->
+    per-source mixture sampling -> stable train/val/test assignment.
+    Everything except the dedup groupBy is map-side codegen; the oracle
+    nests the member operators' SQL as scoped CTEs (generated where the
+    Spark side's thresholds/shingles are generated, so the engines share
+    one definition)."""
+    from ..operators.decontaminate import decontaminate
+    from ..operators.dedup import dedup_exact
+    from ..operators.sampling import hash_split, sample_stratified
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.pmod("doc_id", F.lit(20)) == 0)
+    dd = dedup_exact(docs)
+    clean = decontaminate(dd, bench, n=13, mode="drop")
+    sampled = sample_stratified(
+        clean, rates={"src0": 1.0, "src1": 0.5}, stratum_col="source",
+        seed=7, default_rate=0.3,
+    )
+    return hash_split(
+        sampled, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select("doc_id", "source", "split")
 
 
 def q_decontaminate_scores(spark, sf_dir):
@@ -2106,4 +2202,5 @@ QUERIES = {
     "media_frame_plan": q_media_frame_plan,
     "sample_stratified": q_sample_stratified,
     "corpus_split_counts": q_corpus_split_counts,
+    "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
 }

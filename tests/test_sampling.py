@@ -114,3 +114,19 @@ def test_sampling_plan_is_pure_filter(spark, docs):
     assert "Exchange" not in plan  # no shuffle: scan -> filter, full stop
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_pipeline_pretrain_corpus_invariants(spark):
+    """The composed nightly pipeline: no benchmark doc (or its exact dup)
+    survives, every surviving row carries a valid split, and the whole
+    thing is deterministic across runs."""
+    from gazetteer_entity_parser_spark.plans.queries import QUERIES
+
+    out = QUERIES["pipeline_pretrain_corpus"](spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    ids = {r["doc_id"] for r in rows}
+    assert not any(i % 20 == 0 for i in ids)  # eval slice fully dropped
+    rows2 = QUERIES["pipeline_pretrain_corpus"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
