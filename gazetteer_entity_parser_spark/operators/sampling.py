@@ -122,6 +122,69 @@ def hash_split(
     return docs.withColumn(split_col, expr)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    shard_chars: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign every document to a
+    training pack targeting ``budget_tokens`` whitespace tokens — the step
+    between corpus curation and example writing in a pretraining pipeline
+    (short docs are concatenated into one sequence to avoid padding waste).
+
+    Deterministic and engine-portable: documents are ordered by their md5
+    hash (a stable pseudo-random shuffle — no RNG state, independent of
+    table partitioning, and it breaks up runs of same-length docs), sharded
+    by the FIRST ``shard_chars`` hex digits of that hash (16^shard_chars
+    shards — string shard ids, so no hex->int conversion that SQL dialects
+    disagree on), and packed by a per-shard running token count:
+    ``pack = floor((cumsum - n_tokens) / budget)`` — a doc joins the pack
+    its STARTING offset falls in, so every pack except a shard's last holds
+    budget +/- one document's tokens: a doc straddling a budget boundary
+    overflows its own pack by < max-doc tokens and drifts the next pack's
+    start past the boundary by the same amount (both bounds pinned in
+    tests/test_sampling.py).
+
+    Scale shape: ONE hash-keyed shuffle into 16^shard_chars independent
+    window sorts (raise ``shard_chars`` until a shard fits a task — 4 hex
+    chars = 65,536 shards); token counting and hashing are map-side
+    codegen. Empty docs count 0 tokens and ride along in hash order.
+
+    Output: original columns + (shard string, pack_id string 'shard-k',
+    n_tokens int).
+    """
+    from pyspark.sql import Window
+
+    h = _hash_prefix([id_col], seed)
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # id tiebreak: 64-bit hash-prefix ties are unreachable at test scale but
+    # real at 10^10 rows, and a tie would make pack assignment nondeterministic
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        docs.withColumn("_h", h)
+        .withColumn("_shard", F.substring("_h", 1, shard_chars))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "_pack",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(int(budget_tokens))),
+        )
+    )
+    return out.select(
+        *docs.columns,
+        F.col("_shard").alias("shard"),
+        F.concat("_shard", F.lit("-"), F.col("_pack").cast("string")).alias("pack_id"),
+        "n_tokens",
+    )
+
+
 def sample_sql(
     fraction: float, key_sql: str = "doc_id", seed: int = 0
 ) -> str:

@@ -1693,6 +1693,31 @@ def _pipeline_pretrain_oracle() -> None:
 
 _pipeline_pretrain_oracle()
 
+# sequence packing: same hash order (md5 prefix + id tiebreak), same shard
+# prefix, same running-sum pack rule — one window, directly SQL-expressible
+ORACLES["pack_sequences"] = """
+    WITH t AS (
+        SELECT doc_id,
+               substring(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16) AS h,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                    AS INT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           substring(h, 1, 1) AS shard,
+           substring(h, 1, 1) || '-' ||
+               CAST(CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS VARCHAR) AS pack_id,
+           n_tokens
+    FROM (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY substring(h, 1, 1) ORDER BY h, doc_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS cum
+        FROM t
+    )
+"""
+
+
 ORACLES["pipeline_clean_corpus"] = f"""
     WITH all_docs AS (
         SELECT doc_id, text FROM documents
@@ -1809,6 +1834,18 @@ def q_corpus_split_counts(spark, sf_dir):
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing plan: every doc assigned to a ~512-token
+    pack within its hash shard (deterministic pseudo-random order, string
+    shard ids so the hex->int step no SQL dialect agrees on never exists).
+    One hash-keyed shuffle into 16 independent window sorts."""
+    from ..operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget_tokens=512, shard_chars=1, seed=7
+    ).select("doc_id", "shard", "pack_id", "n_tokens")
 
 
 def q_pipeline_pretrain_corpus(spark, sf_dir):
@@ -2203,4 +2240,5 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_split_counts": q_corpus_split_counts,
     "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
+    "pack_sequences": q_pack_sequences,
 }

@@ -130,3 +130,44 @@ def test_pipeline_pretrain_corpus_invariants(spark):
     assert not any(i % 20 == 0 for i in ids)  # eval slice fully dropped
     rows2 = QUERIES["pipeline_pretrain_corpus"](spark, SF).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pack_sequences_budget_and_stability(spark):
+    """Every pack except a shard's last lands within one document's tokens
+    of the budget (a boundary-straddling doc overflows its own pack and
+    drifts the next pack's start by < max-doc tokens), doc count is
+    preserved, and the assignment is independent of input partitioning."""
+    from gazetteer_entity_parser_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pack_sequences(docs, budget_tokens=512, shard_chars=1, seed=7).select(
+        "doc_id", "shard", "pack_id", "n_tokens"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+
+    packs = {}
+    max_doc = 0
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+        max_doc = max(max_doc, r["n_tokens"])
+    # group packs per shard to find each shard's LAST pack (highest index)
+    by_shard = {}
+    for pid in packs:
+        sh, idx = pid.rsplit("-", 1)
+        by_shard.setdefault(sh, []).append((int(idx), pid))
+    for sh, lst in by_shard.items():
+        lst.sort()
+        # pack indices are contiguous from 0
+        assert [i for i, _ in lst] == list(range(len(lst)))
+        for idx, pid in lst:
+            total = sum(r["n_tokens"] for r in packs[pid])
+            if idx != lst[-1][0]:
+                assert total > 512 - max_doc, (pid, total)  # near-budget floor
+            assert total < 512 + max_doc, (pid, total)  # bounded overflow
+
+    # partitioning independence
+    rows2 = pack_sequences(
+        docs.repartition(17), budget_tokens=512, shard_chars=1, seed=7
+    ).select("doc_id", "shard", "pack_id", "n_tokens").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
