@@ -171,3 +171,42 @@ def test_pack_sequences_budget_and_stability(spark):
         docs.repartition(17), budget_tokens=512, shard_chars=1, seed=7
     ).select("doc_id", "shard", "pack_id", "n_tokens").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_streaming_sample_equals_batch(spark, tmp_path):
+    """sample_hash / hash_split are pure stateless filters, so they run
+    UNCHANGED inside Structured Streaming and must select the identical
+    rows micro-batch by micro-batch (the property partition-RNG df.sample
+    cannot offer a stream: its draw depends on batch composition)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "sampled")
+    ckpt = str(tmp_path / "ckpt")
+    docs.repartition(5).write.parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    q = (
+        hash_split(sample_hash(stream, 0.5, seed=9), {"train": 0.9, "val": 0.1}, seed=9)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["doc_id"], r["split"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(
+            sample_hash(docs, 0.5, seed=9), {"train": 0.9, "val": 0.1}, seed=9
+        ).collect()
+    }
+    assert streamed == batch
+    assert 0 < len(batch) < docs.count()
