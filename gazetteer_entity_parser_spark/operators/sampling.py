@@ -159,7 +159,10 @@ def pack_sequences(
     from pyspark.sql import Window
 
     h = _hash_prefix([id_col], seed)
+    # NULL text counts 0 tokens explicitly: size(NULL array) is NULL under
+    # ANSI (and -1 legacy), either of which would poison the running sum
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n_tok = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
     # id tiebreak: 64-bit hash-prefix ties are unreachable at test scale but
     # real at 10^10 rows, and a tie would make pack assignment nondeterministic
     w = (
@@ -170,7 +173,7 @@ def pack_sequences(
     out = (
         docs.withColumn("_h", h)
         .withColumn("_shard", F.substring("_h", 1, shard_chars))
-        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_tokens", n_tok)
         .withColumn("_cum", F.sum("n_tokens").over(w))
         .withColumn(
             "_pack",

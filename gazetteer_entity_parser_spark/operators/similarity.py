@@ -303,6 +303,12 @@ def _lsh_tables_frame(
     real bucketed equi-join plan (the LSH counterpart of IVF's
     n_probe == n_cells exactness pin; one table suffices since any single
     table already covers the whole index)."""
+    if full_probe and n_planes > 12:
+        raise ValueError(
+            f"full_probe explodes 2^n_planes={1 << n_planes} probe rows per "
+            "vector; it is the small-plane exactness pin, not a scale path — "
+            "use probe_bits multi-probe instead"
+        )
     use_matmul = (
         probe_bits > 0 or n_planes * n_tables > LSH_LITERAL_MAX_PLANES
     )

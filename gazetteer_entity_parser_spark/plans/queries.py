@@ -1699,8 +1699,8 @@ ORACLES["pack_sequences"] = """
     WITH t AS (
         SELECT doc_id,
                substring(md5('7' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 16) AS h,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
-                    AS INT) AS n_tokens
+               CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    x -> x <> '')), 0) AS INT) AS n_tokens
         FROM documents
     )
     SELECT doc_id,

@@ -210,3 +210,25 @@ def test_streaming_sample_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert 0 < len(batch) < docs.count()
+
+
+def test_pack_sequences_null_text_counts_zero(spark):
+    from gazetteer_entity_parser_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, ""), (4, "gamma")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, budget_tokens=3).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[3]["n_tokens"] == 0
+    assert all(r["pack_id"] is not None for r in rows.values())
+
+
+def test_full_probe_guard_refuses_large_plane_count(spark):
+    import pytest as _pytest
+
+    from gazetteer_entity_parser_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.range(5).selectExpr("id AS vec_id", "array(1.0, 2.0) AS embedding")
+    with _pytest.raises(ValueError, match="full_probe"):
+        lsh_bucketed_topk(emb, n_planes=16, full_probe=True)
