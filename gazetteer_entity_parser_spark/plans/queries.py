@@ -1622,6 +1622,17 @@ def _sampling_oracles() -> None:
     """
 
 
+ORACLES["corpus_length_profile"] = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+"""
+
 _sampling_oracles()  # overwrites the None placeholders in the dict literal
 
 
@@ -1833,6 +1844,28 @@ def q_corpus_split_counts(spark, sf_dir):
         hash_split(_docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_corpus_length_profile(spark, sf_dir):
+    """Per-source document-length profile with EXACT interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, pinned
+    bit-identical) — the corpus-analysis aggregate a data-curation run
+    reports per mixture source. At 100 TB exact percentiles cost a
+    per-group sort; the approximate path (percentile_approx / t-digest)
+    trades that for a mergeable sketch but is engine-specific and
+    deliberately not the oracle-checked default here."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
     )
 
 
@@ -2241,4 +2274,5 @@ QUERIES = {
     "corpus_split_counts": q_corpus_split_counts,
     "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
     "pack_sequences": q_pack_sequences,
+    "corpus_length_profile": q_corpus_length_profile,
 }

@@ -293,3 +293,17 @@ def test_ivf_kmeans_refinement_improves_partial_probe_recall(spark):
     r_km = len(exact & km8) / len(exact)
     assert r_km > r_seed, (r_km, r_seed)
     assert r_km >= 0.55, r_km
+
+
+def test_multiprobe_plan_single_assign_node_no_cross_join(spark, emb):
+    """Multi-probe assignment (signs + margins from one BLAS call) sits
+    behind the persisted vectors frame: every consumer branch reads the
+    InMemoryRelation, so the MapInPandas subtree EXECUTES once even though
+    the plan string inlines it per reference; candidates stay a bucketed
+    equi-join."""
+    df = lsh_bucketed_topk(emb, k=3, n_planes=4, n_tables=4, probe_bits=4)
+    plan = _plan(df)
+    assert "MapInPandas" in plan  # the matmul assignment path is in use
+    assert "InMemoryTableScan" in plan  # ...behind the persist boundary
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
