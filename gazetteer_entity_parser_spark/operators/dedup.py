@@ -477,3 +477,38 @@ def embedding_near_dup_keepers(
     # a doubled BroadcastNestedLoopJoin subtree in the physical plan)
     dominated = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
     return emb.join(F.broadcast(dominated), id_col, "left_anti").select(id_col)
+
+
+def keep_best_in_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware keeper selection: per duplicate cluster, the keeper is
+    the HIGHEST-scoring member (ties to the lowest id) instead of the
+    min-id default — the curation rule real pipelines want ("of these five
+    near-identical pages, keep the cleanest one"). Input: the
+    (id, cluster) table from :func:`dedup_clusters` and any per-doc score
+    table (quality_scores, repetition signals, a model score...).
+
+    Output: (id, cluster, score, keeper_id) for every clustered doc —
+    join-ready for both keep (id == keeper_id) and drop (!=) decisions.
+    One cluster-keyed shuffle; the window frame is the whole (small)
+    cluster. Docs in no cluster are absent here (they keep themselves) —
+    same contract as dedup_clusters."""
+    from pyspark.sql import Window
+
+    scored = clusters.join(scores.select(id_col, score_col), id_col)
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return scored.select(
+        id_col,
+        cluster_col,
+        score_col,
+        F.first(id_col).over(w).alias("keeper_id"),
+    )

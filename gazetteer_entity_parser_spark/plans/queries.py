@@ -1729,6 +1729,29 @@ ORACLES["pack_sequences"] = """
 """
 
 
+# quality-aware keeper: nests the recursive-CTE cluster oracle and the
+# quality oracle (computed over the same near-dups corpus) as scoped CTEs,
+# then first_value over the identical (score desc, id asc) cluster window
+ORACLES["dedup_keep_best"] = f"""
+    WITH clu AS (
+        {ORACLES["dedup_clusters_minhash"]}
+    ),
+    near2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text || ' zz0 zz1' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    qual AS ({ORACLES["text_quality_scores"].replace("documents", "near2")})
+    SELECT c.doc_id, c.cluster_id, q.quality_score,
+           first_value(c.doc_id) OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS keeper_id
+    FROM clu c JOIN qual q ON q.doc_id = c.doc_id
+"""
+
 ORACLES["pipeline_clean_corpus"] = f"""
     WITH all_docs AS (
         SELECT doc_id, text FROM documents
@@ -1946,6 +1969,33 @@ def q_dedup_clusters_minhash(spark, sf_dir):
     return dedup_clusters(pairs).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keeper selection over minhash duplicate clusters: the
+    cluster keeper is its highest-quality member (ties to lowest id), not
+    the min id — the curation rule real pipelines apply ('keep the
+    cleanest of these five near-identical pages'). Composition:
+    minhash pairs -> connected components -> join per-doc quality ->
+    first_value over a (score desc, id) cluster window."""
+    from ..operators.dedup import (
+        dedup_clusters,
+        keep_best_in_cluster,
+        minhash_lsh_dedup_pairs,
+    )
+    from ..operators.text_analysis import quality_scores
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_dedup_pairs(docs, n_shingle=2, threshold=0.5)
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+    scores = quality_scores(docs)
+    return keep_best_in_cluster(clusters, scores).select(
+        "doc_id", "cluster_id", "quality_score",
+        F.col("keeper_id").cast("bigint").alias("keeper_id"),
     )
 
 
@@ -2275,4 +2325,5 @@ QUERIES = {
     "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
     "pack_sequences": q_pack_sequences,
     "corpus_length_profile": q_corpus_length_profile,
+    "dedup_keep_best": q_dedup_keep_best,
 }

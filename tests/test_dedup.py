@@ -156,3 +156,23 @@ def test_embedding_dedup_rejects_unknown_method(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="method"):
         embedding_near_dup_keepers(emb, method="faiss")
+
+
+def test_keep_best_in_cluster_prefers_quality_over_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.dedup import keep_best_in_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "doc_id bigint, quality_score double",
+    )
+    out = {r["doc_id"]: r["keeper_id"] for r in
+           keep_best_in_cluster(clusters, scores).collect()}
+    # cluster 1: docs 2 and 3 tie at 0.9 -> lowest id among the BEST (2),
+    # not the cluster min id (1)
+    assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
