@@ -187,6 +187,20 @@ def test_lsh_topk_multiprobe_recall_pinned(spark):
     recall = len(brute & lsh) / len(brute)
     assert recall >= 0.9, recall
     assert abs(recall - 0.93) < 1e-3, recall
+    # high-recall preset: doubling tables through the same matmul assign
+    # path reaches 0.992 (still bucketed — on this 500-vector corpus the
+    # probe set covers a larger index fraction than it would at 10^9 rows,
+    # so treat the absolute number as a small-corpus measurement; the
+    # ORDERING single-probe < multi-probe < more-tables is the contract)
+    hi = {
+        (r["query_id"], r["nbr_id"])
+        for r in lsh_bucketed_topk(
+            emb, k=3, n_planes=4, n_tables=8, probe_bits=4
+        ).collect()
+    }
+    hi_recall = len(brute & hi) / len(brute)
+    assert hi_recall >= 0.95, hi_recall
+    assert abs(hi_recall - 0.992) < 1e-3, hi_recall
     emb.unpersist()
 
 
