@@ -280,3 +280,22 @@ def test_asof_join_salted_plan_partitions_window_on_bucket(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "_sbkt" in plan  # the big window really partitions on the salt
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_salted_numeric_time_column(spark):
+    """The salt bucketing's numeric branch (integer `on` column instead of a
+    timestamp): same row-identity contract as the timestamp path."""
+    left = spark.createDataFrame(
+        [(1, t, 1000 + i) for i, t in enumerate([5, 100, 3600, 7300, 7400])],
+        "user_id bigint, ts bigint, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 1, 1.0), (1, 3599, 2, 2.0), (1, 7301, 3, 3.0)],
+        "user_id bigint, ts bigint, event_id bigint, value double",
+    )
+    base = {tuple(r) for r in asof_join(left, right).collect()}
+    salted = {tuple(r) for r in asof_join(left, right, salt_seconds=3600).collect()}
+    assert salted == base
+    got = {r["event_id"]: r["event_id_asof"] for r in asof_join(left, right, salt_seconds=3600).collect()}
+    # 3600 sits in bucket 1 whose only earlier right row is in bucket 0 -> carry-in
+    assert got[1002] == 2 and got[1000] == 1 and got[1004] == 3
