@@ -137,3 +137,18 @@ def test_oversized_benchmark_refused(spark, docs):
             contamination_scores(docs, docs, n=3)
     finally:
         d.MAX_BENCH_SHINGLE_ROWS = old
+
+
+def test_bench_text_col_override(spark):
+    """An eval table with a differently-named text column works via
+    bench_text_col (schemas rarely agree across corpora)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "nothing shared here at all")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "qid bigint, question string"
+    )
+    got = {r["doc_id"]: r["n_contaminated"] for r in
+           contamination_scores(docs, bench, n=3, bench_text_col="question").collect()}
+    assert got[1] > 0 and got[2] == 0

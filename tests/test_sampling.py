@@ -232,3 +232,19 @@ def test_full_probe_guard_refuses_large_plane_count(spark):
     emb = spark.range(5).selectExpr("id AS vec_id", "array(1.0, 2.0) AS embedding")
     with _pytest.raises(ValueError, match="full_probe"):
         lsh_bucketed_topk(emb, n_planes=16, full_probe=True)
+
+
+def test_sample_hash_multi_column_key(spark):
+    """Composite keys hash on all components: changing a second key column
+    changes the draw, and the same composite row draws identically."""
+    a = spark.createDataFrame(
+        [(i, "x") for i in range(2000)], "doc_id bigint, source string"
+    )
+    b = spark.createDataFrame(
+        [(i, "y") for i in range(2000)], "doc_id bigint, source string"
+    )
+    ka = {r["doc_id"] for r in sample_hash(a, 0.5, key_cols=("doc_id", "source"), seed=1).collect()}
+    kb = {r["doc_id"] for r in sample_hash(b, 0.5, key_cols=("doc_id", "source"), seed=1).collect()}
+    assert ka != kb  # the second key column participates
+    ka2 = {r["doc_id"] for r in sample_hash(a, 0.5, key_cols=("doc_id", "source"), seed=1).collect()}
+    assert ka == ka2
