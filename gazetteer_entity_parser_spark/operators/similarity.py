@@ -764,15 +764,16 @@ def ivf_topk(
     n_probe: int = 2,
     max_centroid_rows: int = 65536,
     kmeans_iters: int = 0,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN — the centroid-bucketed counterpart of
     :func:`lsh_bucketed_topk`:
 
-    1. centroids: deterministic seeds (the ``n_cells`` lowest-id vectors),
-       collected driver-side (bounded by ``max_centroid_rows``), optionally
-       refined with ``kmeans_iters`` spherical k-means sweeps
-       (:func:`kmeans_refine_centroids` — only (n_cells x dim) aggregates
-       ever reach the driver);
+    1. centroids: deterministic seeds (the ``n_cells`` lowest-id vectors of
+       the INDEX side), collected driver-side (bounded by
+       ``max_centroid_rows``), optionally refined with ``kmeans_iters``
+       spherical k-means sweeps (:func:`kmeans_refine_centroids` — only
+       (n_cells x dim) aggregates ever reach the driver);
     2. every vector is assigned to its nearest centroid cell — unrolled
        literal expressions in whole-stage codegen up to
        ``IVF_LITERAL_MAX_CELLS`` cells, a broadcast-matrix mapInPandas
@@ -780,6 +781,15 @@ def ivf_topk(
     3. each query probes its ``n_probe`` nearest cells; candidates come from
        a cell-key equi-join (shuffle on the cell id, never a cross join);
     4. exact cosine + per-query top-k window over the probed candidates.
+
+    ``queries=None`` is self-ANN over ``emb`` (self-pairs excluded, one
+    shared assignment pass). A separate ``queries`` table is the production
+    search shape — query stream vs curated index, BOTH arbitrarily large
+    (neither is collected or broadcast, unlike :func:`ann_topk_matmul`'s
+    driver-resident index): the index side takes one cell each, the query
+    side fans out to its probe cells, and the only shuffle is the cell-key
+    join. Query ids are then allowed to collide with index ids (different
+    tables — no self-pair filter).
 
     With ``n_probe == n_cells`` every cell is probed and the result is EXACT
     brute-force top-k (pinned against :func:`cosine_topk` in tests and by
@@ -797,14 +807,21 @@ def ivf_topk(
             emb, centroids, id_col=id_col, vec_col=vec_col, iters=kmeans_iters
         )
 
-    if n_cells <= IVF_LITERAL_MAX_CELLS:
-        av = _ivf_assign_literal(emb, id_col, vec_col, centroids, n_probe)
+    def assign(df):
+        if n_cells <= IVF_LITERAL_MAX_CELLS:
+            return _ivf_assign_literal(df, id_col, vec_col, centroids, n_probe)
+        return _ivf_assign_matmul(spark, df, id_col, vec_col, centroids, n_probe)
+
+    av = assign(emb).persist()
+    if queries is None:
+        qv = av
+        self_mode = True
     else:
-        av = _ivf_assign_matmul(spark, emb, id_col, vec_col, centroids, n_probe)
-    av = av.persist()
+        qv = assign(queries).persist()
+        self_mode = False
 
     indexed = av.select("id", "v", "nrm", "cell")
-    probes = av.select(
+    probes = qv.select(
         F.col("id").alias("query_id"),
         F.col("v").alias("q_v"),
         F.col("nrm").alias("q_n"),
@@ -812,19 +829,18 @@ def ivf_topk(
     )
 
     cos = _dot(F.col("q_v"), F.col("nbr_v")) / (F.col("q_n") * F.col("n_n"))
-    scored = (
-        probes.join(
-            indexed.select(
-                F.col("id").alias("nbr_id"),
-                F.col("v").alias("nbr_v"),
-                F.col("nrm").alias("n_n"),
-                "cell",
-            ),
+    scored = probes.join(
+        indexed.select(
+            F.col("id").alias("nbr_id"),
+            F.col("v").alias("nbr_v"),
+            F.col("nrm").alias("n_n"),
             "cell",
-        )
-        .where(F.col("query_id") != F.col("nbr_id"))
-        .withColumn("cosine", cos)
+        ),
+        "cell",
     )
+    if self_mode:
+        scored = scored.where(F.col("query_id") != F.col("nbr_id"))
+    scored = scored.withColumn("cosine", cos)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))

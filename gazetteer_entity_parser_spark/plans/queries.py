@@ -1338,6 +1338,21 @@ ORACLES: dict[str, str] = {
             FROM v a JOIN v b ON a.vec_id <> b.vec_id
         ) WHERE rk <= 3
     """,
+    # IVF search mode at full probe = exact top-k of the query subset vs the
+    # whole index, self-pairs INCLUDED (distinct tables)
+    "sim_ann_ivf_search_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 5 = 0)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(q.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM q, v b
+        ) WHERE rk <= 3
+    """,
     "sim_ann_ivf_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
@@ -2132,6 +2147,21 @@ def q_sim_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(spark, _emb(spark, sf_dir), k=3, n_cells=8, n_probe=8)
 
 
+def q_sim_ann_ivf_search_topk(spark, sf_dir):
+    """IVF SEARCH mode — separate query table vs index (the production
+    shape: a query stream against a curated index, neither collected nor
+    broadcast; the only shuffle is the cell-key join). Queries = every 5th
+    vector; full probing makes the result exact (same IVF-plan exactness
+    pin as the self-ANN variant), and with distinct tables there is NO
+    self-pair exclusion: each query's own index copy ranks first at
+    cosine 1.0 — which the oracle checks too."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.pmod("vec_id", F.lit(5)) == 0)
+    return ivf_topk(spark, emb, k=3, n_cells=8, n_probe=8, queries=q)
+
+
 def q_sim_ann_ivf_matmul_topk(spark, sf_dir):
     """The LARGE-n_cells IVF physical plan under the correctness gate:
     n_cells=64 > IVF_LITERAL_MAX_CELLS routes cell assignment through the
@@ -2308,6 +2338,7 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
     "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
+    "sim_ann_ivf_search_topk": q_sim_ann_ivf_search_topk,
     "sim_ann_ivf_matmul_topk": q_sim_ann_ivf_matmul_topk,
     "sim_ann_matmul_topk": q_sim_ann_matmul_topk,
     "text_token_stats": q_text_token_stats,

@@ -321,3 +321,25 @@ def test_multiprobe_plan_single_assign_node_no_cross_join(spark, emb):
     assert "InMemoryTableScan" in plan  # ...behind the persist boundary
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_search_mode_separate_queries(spark):
+    """Search mode (queries != index): full probe is exact vs brute force of
+    the query subset against the whole index, self-pairs included; partial
+    probe returns only probed-cell candidates."""
+    from gazetteer_entity_parser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100).cache()
+    q = emb.where(F.pmod("vec_id", F.lit(7)) == 0)
+    exact = {
+        tuple(r)
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    # cosine_topk excludes query_id == nbr_id; search mode includes it, so
+    # compare on the common contract: strip rank-1 self hits first
+    got = [tuple(r) for r in ivf_topk(spark, emb, k=4, n_cells=4, n_probe=4, queries=q).collect()]
+    self_hits = [(a, b) for (a, b, c, rk) in got if a == b]
+    assert len(self_hits) == q.count()  # every query finds its own index copy
+    assert all(rk == 1 and abs(c - 1.0) < 1e-6 for (a, b, c, rk) in got if a == b)
+    rebased = {(a, b, c, rk - 1) for (a, b, c, rk) in got if a != b}
+    assert rebased == exact
