@@ -444,11 +444,21 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     probe_bits: int = 0,
     full_probe: bool = False,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k per vector: candidates = same-bucket pairs in ANY of
     ``n_tables`` independent hyperplane tables (L-tables LSH), then exact
     cosine + per-query top-k window over the deduped candidate set. The
     shuffle key is (table, bucket) — the corpus never cross-joins.
+
+    ``queries=None`` is self-ANN over ``emb`` (self-pairs excluded). A
+    separate ``queries`` table is SEARCH mode — query stream vs curated
+    index, both arbitrarily large, neither collected nor broadcast: both
+    sides hash with the SAME blake2b-derived planes (deterministic, no
+    state to ship), the index side keeps one bucket per table, the query
+    side probes (multi-probe applies to queries only), and query ids may
+    collide with index ids (no self-pair filter — a query's own index
+    copy legitimately ranks first at cosine 1.0).
 
     ``probe_bits``: multi-probe LSH — each QUERY additionally probes the
     buckets reached by flipping its ``probe_bits`` lowest-|margin| sign bits
@@ -464,17 +474,27 @@ def lsh_bucketed_topk(
     physical plan; the LSH mirror of IVF's n_probe == n_cells exactness."""
     v, buckets, probes = _lsh_tables_frame(
         emb, id_col, vec_col, n_planes, dim, n_tables,
-        probe_bits=probe_bits, full_probe=full_probe,
+        # index-side probes are never used; only build them in self mode
+        probe_bits=probe_bits if queries is None else 0,
+        full_probe=full_probe if queries is None else False,
     )
-    qside = probes if probes is not None else buckets
+    if queries is None:
+        qv, qside = v, (probes if probes is not None else buckets)
+    else:
+        qv, qbuckets, qprobes = _lsh_tables_frame(
+            queries, id_col, vec_col, n_planes, dim, n_tables,
+            probe_bits=probe_bits, full_probe=full_probe,
+        )
+        qside = qprobes if qprobes is not None else qbuckets
     cand = (
         qside.withColumnRenamed("id", "query_id")
         .join(buckets.withColumnRenamed("id", "nbr_id"), ["t", "bucket"])
-        .where(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id")
         .distinct()
     )
-    a = v.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_n"))
+    if queries is None:
+        cand = cand.where(F.col("query_id") != F.col("nbr_id"))
+    a = qv.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_n"))
     b = v.select(F.col("id").alias("nbr_id"), F.col("v").alias("nbr_v"), F.col("nrm").alias("n_n"))
     cos = _dot(F.col("q_v"), F.col("nbr_v")) / (F.col("q_n") * F.col("n_n"))
     scored = cand.join(a, "query_id").join(b, "nbr_id").withColumn("cosine", cos)

@@ -1338,8 +1338,22 @@ ORACLES: dict[str, str] = {
             FROM v a JOIN v b ON a.vec_id <> b.vec_id
         ) WHERE rk <= 3
     """,
-    # IVF search mode at full probe = exact top-k of the query subset vs the
-    # whole index, self-pairs INCLUDED (distinct tables)
+    # SEARCH mode (LSH and IVF) at full probe = exact top-k of the query
+    # subset vs the whole index, self-pairs INCLUDED (distinct tables) —
+    # both share this brute-force oracle
+    "sim_ann_lsh_search_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id % 5 = 0)
+        SELECT query_id, nbr_id, round(cosine, 6) AS cosine, CAST(rk AS INT) AS rk
+        FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+                   list_cosine_similarity(q.e, b.e) AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.e, b.e) DESC, b.vec_id ASC) AS rk
+            FROM q, v b
+        ) WHERE rk <= 3
+    """,
     "sim_ann_ivf_search_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT * FROM v WHERE vec_id % 5 = 0)
@@ -2147,6 +2161,19 @@ def q_sim_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(spark, _emb(spark, sf_dir), k=3, n_cells=8, n_probe=8)
 
 
+def q_sim_ann_lsh_search_topk(spark, sf_dir):
+    """LSH SEARCH mode — separate query table vs index (both sides hash with
+    the same deterministic planes; neither collected nor broadcast; the
+    only shuffle is the (table, bucket) join). Full probe makes it exact,
+    self-pairs included (distinct tables), sharing the brute-force oracle.
+    Partial/multi-probe search recall is pinned in tests/test_similarity.py."""
+    from ..operators.similarity import lsh_bucketed_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.pmod("vec_id", F.lit(5)) == 0)
+    return lsh_bucketed_topk(emb, k=3, n_planes=4, full_probe=True, queries=q)
+
+
 def q_sim_ann_ivf_search_topk(spark, sf_dir):
     """IVF SEARCH mode — separate query table vs index (the production
     shape: a query stream against a curated index, neither collected nor
@@ -2339,6 +2366,7 @@ QUERIES = {
     "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
     "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
     "sim_ann_ivf_search_topk": q_sim_ann_ivf_search_topk,
+    "sim_ann_lsh_search_topk": q_sim_ann_lsh_search_topk,
     "sim_ann_ivf_matmul_topk": q_sim_ann_ivf_matmul_topk,
     "sim_ann_matmul_topk": q_sim_ann_matmul_topk,
     "text_token_stats": q_text_token_stats,

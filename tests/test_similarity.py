@@ -343,3 +343,32 @@ def test_ivf_search_mode_separate_queries(spark):
     assert all(rk == 1 and abs(c - 1.0) < 1e-6 for (a, b, c, rk) in got if a == b)
     rebased = {(a, b, c, rk - 1) for (a, b, c, rk) in got if a != b}
     assert rebased == exact
+
+
+def test_lsh_search_mode_separate_queries(spark):
+    """LSH search mode: full probe exact vs brute force of the query subset
+    against the whole index (self-pairs included); multi-probe search keeps
+    a useful recall while probing only buckets."""
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100).cache()
+    q = emb2.where(F.pmod("vec_id", F.lit(7)) == 0)
+    exact = {tuple(r) for r in cosine_topk(emb2, q, k=3).collect()}
+    got = [
+        tuple(r)
+        for r in lsh_bucketed_topk(
+            emb2, k=4, n_planes=4, full_probe=True, queries=q
+        ).collect()
+    ]
+    assert all(rk == 1 and abs(c - 1.0) < 1e-6 for (a, b, c, rk) in got if a == b)
+    assert {(a, b) for (a, b, _c, _rk) in got if a == b} == {
+        (r["vec_id"], r["vec_id"]) for r in q.select("vec_id").collect()
+    }
+    rebased = {(a, b, c, rk - 1) for (a, b, c, rk) in got if a != b}
+    assert rebased == exact
+
+    # multi-probe search: every returned neighbor shares a probed bucket and
+    # the query's own copy is always found (identical vector, identical bucket)
+    mp = lsh_bucketed_topk(
+        emb2, k=3, n_planes=4, n_tables=4, probe_bits=2, queries=q
+    ).collect()
+    self_found = {r["query_id"] for r in mp if r["query_id"] == r["nbr_id"]}
+    assert self_found == {r["vec_id"] for r in q.select("vec_id").collect()}
