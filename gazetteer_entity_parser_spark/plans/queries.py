@@ -484,6 +484,20 @@ def q_web_url_canonical(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel: signup -> click -> purchase, each step strictly after
+    the previous and within 1 day of the signup; per-step user counts and
+    conversion vs step 1. One conditional user-keyed aggregation per step
+    chained through a |users|-sized prefix frame — no k-way self-join of
+    the event stream (operators/funnel.py)."""
+    from ..operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(
+        ev, steps=["signup", "click", "purchase"], within_seconds=86400
+    )
+
+
 def q_events_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hour buckets rolled up
     to day and grand total in ONE pass (ROLLUP grouping sets — Spark plans
@@ -1015,6 +1029,39 @@ ORACLES: dict[str, str] = {
     """,
     # string-truncated buckets (timezone-free, identical rendering in both
     # engines) rolled up hour -> day -> total in one grouping-sets pass
+    # funnel: chained first-occurrence CTEs mirror the Spark per-step
+    # conditional aggregations; strictly-increasing step times, 1-day window
+    # anchored at step 1, conversion = n_k / n_1
+    "events_funnel": """
+        WITH s1 AS (
+            SELECT user_id AS u, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t2
+            FROM events e JOIN s1 ON s1.u = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id AS u, min(e.ts) AS t3
+            FROM events e JOIN s2 ON s2.u = e.user_id JOIN s1 ON s1.u = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+            GROUP BY 1
+        )
+        SELECT 1 AS step_idx, 'signup' AS step,
+               CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users,
+               round((SELECT count(*) FROM s1) / (SELECT count(*) FROM s1), 6) AS conversion
+        UNION ALL
+        SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT),
+               round((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1), 6)
+        UNION ALL
+        SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT),
+               round((SELECT count(*) FROM s3) / (SELECT count(*) FROM s1), 6)
+    """,
     "events_time_rollup": """
         SELECT substr(CAST(ts AS VARCHAR), 1, 10) AS day,
                substr(CAST(ts AS VARCHAR), 1, 13) AS hr,
@@ -2347,6 +2394,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
+    "events_funnel": q_events_funnel,
     "web_url_canonical": q_web_url_canonical,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,

@@ -1,0 +1,105 @@
+"""Funnel analysis: ordered step completion, strict time order, window."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from gazetteer_entity_parser_spark.operators.funnel import funnel_counts, funnel_steps
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_ordering_and_window(spark):
+    ev = _ev(spark, [
+        (1, _ts(0), "A"), (1, _ts(5), "B"), (1, _ts(10), "C"),   # completes
+        (2, _ts(0), "B"), (2, _ts(5), "A"), (2, _ts(3), "C"),    # B,C BEFORE A: stops at A
+        (3, _ts(0), "A"), (3, _ts(0), "B"),                      # tie does NOT advance
+        (4, _ts(0), "A"), (4, _ts(200), "B"),                    # B outside 100-min window
+        (5, _ts(50), "B"), (5, _ts(60), "C"),                    # never did A: absent
+    ])
+    out = {r["user_id"]: r for r in funnel_steps(
+        ev, ["A", "B", "C"], within_seconds=6000
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["t1"] == _ts(0) and out[1]["t2"] == _ts(5) and out[1]["t3"] == _ts(10)
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[3]["t2"] is None  # simultaneous events can't prove order
+    assert out[4]["t2"] is None  # outside the window anchored at t1
+
+    counts = {r["step"]: (r["n_users"], r["conversion"]) for r in funnel_counts(
+        ev, ["A", "B", "C"], within_seconds=6000
+    ).collect()}
+    assert counts["A"] == (4, 1.0)
+    assert counts["B"] == (1, 0.25)
+    assert counts["C"] == (1, 0.25)
+
+
+def test_funnel_first_occurrence_semantics(spark):
+    """Step k locks to the EARLIEST qualifying event even when a later one
+    would leave more room for step k+1 (first-occurrence, not best-path:
+    the standard product-analytics definition, matching the oracle)."""
+    ev = _ev(spark, [
+        (1, _ts(0), "A"),
+        (1, _ts(1), "B"),   # earliest B locks t2=1
+        (1, _ts(90), "B"),
+        (1, _ts(0.5 * 1), "C"),  # only C is before t2 -> funnel stops
+    ])
+    out = funnel_steps(ev, ["A", "B", "C"]).collect()[0]
+    assert out["t2"] == _ts(1)
+    assert out["t3"] is None
+
+
+def test_funnel_randomized_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for i in range(600):
+        rows.append(
+            (rng.randint(1, 40), _ts(rng.randint(0, 500)), rng.choice("ABCX"))
+        )
+    ev = _ev(spark, rows)
+    W = 200 * 60  # seconds
+    got = {r["user_id"]: (r["t1"], r["t2"], r["t3"]) for r in funnel_steps(
+        ev, ["A", "B", "C"], within_seconds=W
+    ).collect()}
+
+    by_user = {}
+    for u, t, e in rows:
+        by_user.setdefault(u, []).append((t, e))
+    expected = {}
+    for u, evs in by_user.items():
+        a = [t for t, e in evs if e == "A"]
+        if not a:
+            continue
+        t1 = min(a)
+        deadline = t1 + datetime.timedelta(seconds=W)
+        b = [t for t, e in evs if e == "B" and t > t1 and t <= deadline]
+        t2 = min(b) if b else None
+        t3 = None
+        if t2 is not None:
+            c = [t for t, e in evs if e == "C" and t > t2 and t <= deadline]
+            t3 = min(c) if c else None
+        expected[u] = (t1, t2, t3)
+    assert got == expected
+    assert any(v[2] is not None for v in expected.values())  # non-trivial
+
+
+def test_funnel_plan_no_event_self_join_explosion(spark):
+    """Candidate joins are event-vs-prefix-frame (user-keyed), never a
+    cartesian/BNLJ of the event stream against itself."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = funnel_counts(ev, ["signup", "click", "purchase"], within_seconds=86400)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
