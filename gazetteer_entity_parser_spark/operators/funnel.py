@@ -114,3 +114,37 @@ def funnel_counts(
         ).alias("s")
     )
     return rows.select("s.step_idx", "s.step", "s.n_users", "s.conversion")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention — funnel's companion report: users grouped by the
+    period of their FIRST activity (the cohort), counted distinct in every
+    later period they return. Output: (cohort_period, period_offset,
+    n_users) where offset 0 is the cohort's own size.
+
+    Periods are tz-free epoch buckets (timestampdiff from a fixed NTZ
+    origin — date_trunc would route an NTZ timestamp through the session
+    timezone). Two user-keyed aggregations + one join on the user id; the
+    final rollup is (periods x offsets)-sized, corpus-independent."""
+    origin = "TIMESTAMP_NTZ '2000-01-01 00:00:00'"
+    period = F.floor(
+        F.expr(f"timestampdiff(SECOND, {origin}, {ts_col})") / int(period_seconds)
+    )
+    w = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("user"), period.alias("pd"))
+    )
+    cohort = w.groupBy("user").agg(F.min("pd").alias("cohort_pd"))
+    return (
+        w.join(cohort, "user")
+        .groupBy(
+            F.col("cohort_pd").alias("cohort_period"),
+            (F.col("pd") - F.col("cohort_pd")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("user").alias("n_users"))
+    )

@@ -498,6 +498,17 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week
+    (tz-free epoch weeks), distinct-counted in each later week they return.
+    Two user-keyed aggregations + one user join; rollup output is
+    (weeks x offsets)-sized (operators/funnel.py:retention_cohorts)."""
+    from ..operators.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, period_seconds=604800)
+
+
 def q_events_time_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: hour buckets rolled up
     to day and grand total in ONE pass (ROLLUP grouping sets — Spark plans
@@ -1029,6 +1040,21 @@ ORACLES: dict[str, str] = {
     """,
     # string-truncated buckets (timezone-free, identical rendering in both
     # engines) rolled up hour -> day -> total in one grouping-sets pass
+    # retention: tz-free epoch-week buckets (datediff from the same fixed
+    # origin the Spark side uses; DuckDB TIMESTAMP is tz-free natively)
+    "events_retention": """
+        WITH w AS (
+            SELECT user_id AS u,
+                   CAST(floor(datediff('second', TIMESTAMP '2000-01-01 00:00:00', ts)
+                        / 604800) AS BIGINT) AS pd
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        c AS (SELECT u, min(pd) AS cpd FROM w GROUP BY 1)
+        SELECT c.cpd AS cohort_period, w.pd - c.cpd AS period_offset,
+               CAST(count(DISTINCT w.u) AS BIGINT) AS n_users
+        FROM w JOIN c ON c.u = w.u
+        GROUP BY 1, 2
+    """,
     # funnel: chained first-occurrence CTEs mirror the Spark per-step
     # conditional aggregations; strictly-increasing step times, 1-day window
     # anchored at step 1, conversion = n_k / n_1
@@ -2395,6 +2421,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "events_time_rollup": q_events_time_rollup,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "web_url_canonical": q_web_url_canonical,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,

@@ -103,3 +103,26 @@ def test_funnel_plan_no_event_self_join_explosion(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_retention_cohorts_semantics(spark):
+    from gazetteer_entity_parser_spark.operators.funnel import retention_cohorts
+
+    # periods of 60s; user 1 active periods {0,1,3}; user 2 {1}; user 3 {1,2}
+    ev = _ev(spark, [
+        (1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(3), "A"),
+        (2, _ts(1), "A"),
+        (3, _ts(1), "A"), (3, _ts(2), "B"),
+        (None, _ts(0), "A"),
+    ])
+    got = {(r["cohort_period"], r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(ev, period_seconds=60).collect()}
+    # cohort at user-1's first minute-period P0: offsets 0,1,3 (one user)
+    # cohort P1 (users 2,3): offset 0 has both, offset 1 has user 3
+    # normalize: compute periods relative to the smallest cohort
+    base = min(p for p, _ in got)
+    rel = {(p - base, o): n for (p, o), n in got.items()}
+    assert rel[(0, 0)] == 1 and rel[(0, 1)] == 1 and rel[(0, 3)] == 1
+    assert rel[(1, 0)] == 2 and rel[(1, 1)] == 1
+    assert (0, 2) not in rel  # user 1 skipped period 2
+    assert sum(n for (p, o), n in rel.items() if o == 0) == 3  # null user dropped
