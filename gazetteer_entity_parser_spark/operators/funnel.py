@@ -148,3 +148,32 @@ def retention_cohorts(
         )
         .agg(F.countDistinct("user").alias("n_users"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-flow transition counts (the Markov matrix funnel design starts
+    from): for each user's time-ordered event sequence, count every
+    adjacent (prev_type -> next_type) pair. One user-keyed window (lag) +
+    one small groupBy; the rollup is |types|^2-sized, corpus-independent.
+
+    Ordering is (ts, type) within user — the type tiebreak makes
+    simultaneous events deterministic (identical (ts, type) duplicates
+    yield the same transition multiset under any order). NULL users/
+    timestamps are excluded (they can't order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "next_type")
+    seq = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(user_col, ts_col, F.col(type_col).alias("next_type"))
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    return seq.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )

@@ -249,3 +249,44 @@ def redact_pii(
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
     )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF per (doc, token): tf = in-doc term count, df = documents
+    containing the token, idf = ln(N / df), score = tf * idf (rounded 6).
+    The relational formulation — explode -> two aggregations — with N
+    (total docs) as the single driver-side scalar the definition needs
+    (one count job; a number, not data).
+
+    Scale shape: the (doc, token) exchange carries counts, not text; the
+    df table is vocabulary-sized and joins the tf table on the token key.
+    For a web-scale corpus that join is token-keyed and the vocabulary
+    side is orders of magnitude smaller than the tf table (broadcast when
+    it fits, plain shuffle join otherwise — Catalyst/AQE decide by size).
+    Stopword-heavy tokens get idf -> 0 naturally; df == N gives exactly 0.
+    """
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        tf.join(df_t, "token")
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )

@@ -498,6 +498,16 @@ def q_events_funnel(spark, sf_dir):
     )
 
 
+def q_events_transitions(spark, sf_dir):
+    """Event-flow transition matrix: adjacent (prev -> next) event-type
+    counts per user's time-ordered sequence; one user-keyed lag window +
+    a |types|^2 rollup (operators/funnel.py:event_transitions)."""
+    from ..operators.funnel import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
 def q_events_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by first-activity week
     (tz-free epoch weeks), distinct-counted in each later week they return.
@@ -1040,6 +1050,18 @@ ORACLES: dict[str, str] = {
     """,
     # string-truncated buckets (timezone-free, identical rendering in both
     # engines) rolled up hour -> day -> total in one grouping-sets pass
+    "events_transitions": """
+        WITH seq AS (
+            SELECT event_type AS next_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type
+                   ) AS prev_type
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     # retention: tz-free epoch-week buckets (datediff from the same fixed
     # origin the Spark side uses; DuckDB TIMESTAMP is tz-free natively)
     "events_retention": """
@@ -1141,6 +1163,22 @@ ORACLES: dict[str, str] = {
         )
         SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies
         FROM all_docs GROUP BY text HAVING count(*) > 1
+    """,
+    # TF-IDF: same relational formulation; N via scalar subquery, ln()
+    # matches Spark's F.log (natural log) — round 6 insulates the last-ulp
+    # risk of different libm implementations
+    "text_tfidf": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                   t -> t <> '')) AS token
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        df_t AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        SELECT tf.doc_id, tf.token, tf.tf, df_t.df,
+               round(tf.tf * ln((SELECT count(*) FROM documents) / df_t.df), 6) AS tfidf
+        FROM tf JOIN df_t ON df_t.token = tf.token
     """,
     # deterministic hash sampling: md5 hex prefix vs a driver-computed
     # threshold string — fixed-width lowercase hex compares exactly like the
@@ -1942,6 +1980,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, token): the classic text-weighting relational plan —
+    explode -> tf aggregation -> vocabulary-sized df join -> ln(N/df)
+    weighting (operators/text_analysis.py:tfidf_scores)."""
+    from ..operators.text_analysis import tfidf_scores
+
+    return tfidf_scores(_docs(spark, sf_dir))
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified corpus sampling (the data-mixture recipe:
     per-source keep rates, hash-keyed so the selected set is stable across
@@ -2422,6 +2469,7 @@ QUERIES = {
     "events_time_rollup": q_events_time_rollup,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_transitions": q_events_transitions,
     "web_url_canonical": q_web_url_canonical,
     "agg_events_by_type": q_agg_events_by_type,
     "join_semi_anti": q_join_semi_anti,
@@ -2454,6 +2502,7 @@ QUERIES = {
     "media_features_full": q_media_features_full,
     "media_resize": q_media_resize,
     "media_frame_plan": q_media_frame_plan,
+    "text_tfidf": q_text_tfidf,
     "sample_stratified": q_sample_stratified,
     "corpus_split_counts": q_corpus_split_counts,
     "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,

@@ -126,3 +126,17 @@ def test_retention_cohorts_semantics(spark):
     assert rel[(1, 0)] == 2 and rel[(1, 1)] == 1
     assert (0, 2) not in rel  # user 1 skipped period 2
     assert sum(n for (p, o), n in rel.items() if o == 0) == 3  # null user dropped
+
+
+def test_event_transitions_counts(spark):
+    from gazetteer_entity_parser_spark.operators.funnel import event_transitions
+
+    ev = _ev(spark, [
+        (1, _ts(0), "A"), (1, _ts(1), "B"), (1, _ts(2), "A"),
+        (2, _ts(0), "A"), (2, _ts(1), "B"),
+        (3, _ts(5), "C"),                       # single event: no transition
+        (4, _ts(0), "B"), (4, _ts(0), "A"),     # tie: type order A then B
+    ])
+    got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
+           for r in event_transitions(ev).collect()}
+    assert got == {("A", "B"): 3, ("B", "A"): 1}

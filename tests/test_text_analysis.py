@@ -162,3 +162,27 @@ def test_redact_pii_pure_codegen_plan(spark):
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_tfidf_scores_semantics(spark):
+    import math
+
+    from gazetteer_entity_parser_spark.operators.text_analysis import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_id"], r["token"]): r for r in tfidf_scores(docs).collect()}
+    # 'apple' only in doc 1 (tf 2, df 1): idf = ln(3)
+    r = got[(1, "apple")]
+    assert r["tf"] == 2 and r["df"] == 1
+    assert abs(r["tfidf"] - round(2 * math.log(3), 6)) < 1e-9
+    # 'banana' in 2 of 3 docs: idf = ln(1.5)
+    assert abs(got[(1, "banana")]["tfidf"] - round(math.log(1.5), 6)) < 1e-9
+    # a token in EVERY doc would score exactly 0 (ln 1)
+    docs2 = spark.createDataFrame(
+        [(1, "x a"), (2, "x b"), (3, "x c")], "doc_id bigint, text string"
+    )
+    everywhere = {r["token"]: r["tfidf"] for r in tfidf_scores(docs2).collect()}
+    assert everywhere["x"] == 0.0
