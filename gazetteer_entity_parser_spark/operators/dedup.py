@@ -497,10 +497,14 @@ def keep_best_in_cluster(
     join-ready for both keep (id == keeper_id) and drop (!=) decisions.
     One cluster-keyed shuffle; the window frame is the whole (small)
     cluster. Docs in no cluster are absent here (they keep themselves) —
-    same contract as dedup_clusters."""
+    same contract as dedup_clusters. A clustered doc MISSING from
+    ``scores`` (quality computed over a filtered slice) still keeps its
+    row: the score join is LEFT, a NULL score sorts after every real one
+    (Spark desc is NULLS LAST), and an all-unscored cluster falls back to
+    the min-id keeper."""
     from pyspark.sql import Window
 
-    scored = clusters.join(scores.select(id_col, score_col), id_col)
+    scored = clusters.join(scores.select(id_col, score_col), id_col, "left")
     w = (
         Window.partitionBy(cluster_col)
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())

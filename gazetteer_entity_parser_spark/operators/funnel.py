@@ -55,13 +55,20 @@ def funnel_steps(
         .groupBy("user")
         .agg(F.min("ts").alias("t1"))
     )
+    # timestamp columns advance the deadline by a calendar INTERVAL; numeric
+    # (epoch) time columns by plain addition — same dual contract as
+    # asof_join's salt bucketing
+    ts_is_timestamp = dict(ev.dtypes)["ts"].startswith("timestamp")
     for k, step in enumerate(steps[1:], start=2):
         cond = F.col("ts") > F.col(f"t{k - 1}")
         if within_seconds is not None:
-            cond = cond & (
-                F.col("ts")
-                <= F.col("t1") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
-            )
+            if ts_is_timestamp:
+                deadline = F.col("t1") + F.expr(
+                    f"INTERVAL {int(within_seconds)} SECOND"
+                )
+            else:
+                deadline = F.col("t1") + F.lit(int(within_seconds))
+            cond = cond & (F.col("ts") <= deadline)
         found = (
             ev.where(F.col("etype") == step)
             .join(cur, "user")  # prefix frame: |users| rows, k-1 timestamps

@@ -99,14 +99,27 @@ def _star_components(
             "max_iters"
         )
     # fixpoint = star forest: every edge already points at its component's
-    # minimum vertex; centers join as their own component
-    return (
+    # minimum vertex; centers join as their own component. Vertices whose
+    # only edges were SELF-LOOPS never entered the contraction (canonical
+    # edges drop a == b) but ARE vertices of the graph — min-label returns
+    # them as singletons, so the star path must too (identical contract).
+    components = (
         e.select(F.col("a").alias("entity"), F.col("b").alias("component"))
         .union(
             e.select(F.col("b").alias("entity"), F.col("b").alias("component"))
         )
         .distinct()
     )
+    all_verts = (
+        edges.select(F.col(src).alias("entity"))
+        .union(edges.select(F.col(dst).alias("entity")))
+        .where(F.col("entity").isNotNull())
+        .distinct()
+    )
+    singletons = all_verts.join(
+        components.select("entity"), "entity", "left_anti"
+    ).select("entity", F.col("entity").alias("component"))
+    return components.union(singletons)
 
 
 def connected_components(

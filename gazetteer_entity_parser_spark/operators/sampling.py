@@ -158,6 +158,12 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if int(budget_tokens) <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive (got {budget_tokens}); a zero "
+            "budget would divide the running sum by zero and emit NULL pack "
+            "ids for every row"
+        )
     h = _hash_prefix([id_col], seed)
     # NULL text counts 0 tokens explicitly: size(NULL array) is NULL under
     # ANSI (and -1 legacy), either of which would poison the running sum

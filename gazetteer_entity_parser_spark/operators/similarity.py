@@ -283,6 +283,7 @@ def _lsh_tables_frame(
     n_tables: int,
     probe_bits: int = 0,
     full_probe: bool = False,
+    force_matmul: bool = False,
 ):
     """(vectors, buckets, probes): ``vectors`` = (id, v, nrm, b0..b{T-1})
     persisted — both consumers (candidate join sides, exact-verify sides)
@@ -309,8 +310,15 @@ def _lsh_tables_frame(
             "vector; it is the small-plane exactness pin, not a scale path — "
             "use probe_bits multi-probe instead"
         )
+    # ``force_matmul``: callers hashing TWO tables (search mode) must route
+    # both through the same assignment path — literal Catalyst folds sum
+    # sequentially while the BLAS matmul sums blocked/pairwise, and a plane
+    # dot within rounding error of zero could flip its sign bit between the
+    # paths, splitting an identical vector across buckets
     use_matmul = (
-        probe_bits > 0 or n_planes * n_tables > LSH_LITERAL_MAX_PLANES
+        force_matmul
+        or probe_bits > 0
+        or n_planes * n_tables > LSH_LITERAL_MAX_PLANES
     )
     if not use_matmul:
         v = emb.select(
@@ -472,11 +480,17 @@ def lsh_bucketed_topk(
     the whole index and the result is EXACT top-k (pinned by the DuckDB
     brute-force oracle) while still exercising the real bucketed equi-join
     physical plan; the LSH mirror of IVF's n_probe == n_cells exactness."""
+    # search mode: the query side may need the matmul path (multi-probe
+    # margins); the index side must then use the SAME path — mixed paths
+    # could flip a near-zero plane dot's sign bit between the two sides
+    # and split an identical vector across buckets (see _lsh_tables_frame)
+    query_uses_matmul = probe_bits > 0 or n_planes * n_tables > LSH_LITERAL_MAX_PLANES
     v, buckets, probes = _lsh_tables_frame(
         emb, id_col, vec_col, n_planes, dim, n_tables,
         # index-side probes are never used; only build them in self mode
         probe_bits=probe_bits if queries is None else 0,
         full_probe=full_probe if queries is None else False,
+        force_matmul=query_uses_matmul if queries is not None else False,
     )
     if queries is None:
         qv, qside = v, (probes if probes is not None else buckets)

@@ -1191,27 +1191,7 @@ ORACLES: dict[str, str] = {
     # shingles reproduces the Spark broadcast-left-join + doc-keyed rollup;
     # 3-gram shingles via two lead() windows (same chr(31) separator and
     # distinct-within-doc semantics as the dedup family's oracles)
-    "decontaminate_scores": """
-        WITH toks AS (
-            SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
-            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-        ),
-        sh AS (
-            SELECT DISTINCT doc_id, s FROM (
-                SELECT doc_id,
-                       tok || chr(31) || lead(tok, 1) OVER w
-                           || chr(31) || lead(tok, 2) OVER w AS s
-                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-            ) WHERE s IS NOT NULL
-        ),
-        bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
-        SELECT d.doc_id,
-               CAST(count(*) AS BIGINT) AS n_shingles,
-               CAST(count(b.s) AS BIGINT) AS n_contaminated,
-               round(count(b.s) / count(*), 6) AS contamination_frac
-        FROM sh d LEFT JOIN bsh b ON d.s = b.s
-        GROUP BY d.doc_id
-    """,
+    "decontaminate_scores": None,  # generated below (needs _shingle_sql)
     "dedup_ngram_jaccard": """
         WITH near AS (
             SELECT doc_id, text FROM documents
@@ -1776,14 +1756,15 @@ ORACLES["corpus_length_profile"] = """
 _sampling_oracles()  # overwrites the None placeholders in the dict literal
 
 
-def _shingle13_sql(name: str, src: str) -> str:
-    """CTE text: distinct 13-token shingles of ``src`` (doc_id, text) —
+def _shingle_sql(name: str, src: str, n: int) -> str:
+    """CTE text: distinct n-token shingles of ``src`` (doc_id, text) —
     lead()-chain n-grams PLUS the whole-doc fallback shingle for docs with
-    fewer than 13 tokens, mirroring token_shingles' `when(size < n)` arm
-    (a sub-13-token doc still leaks if it appears verbatim in the eval
-    set)."""
+    fewer than n tokens, mirroring token_shingles' `when(size < n)` arm
+    (a short doc still leaks if it appears verbatim in the eval set). The
+    fallback excludes the empty string (an empty/whitespace doc tokenizes
+    to [''] whose join is '' — Spark filters that out)."""
     leads = " || chr(31) || ".join(
-        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, 13)]
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
     )
     return f"""
         {name} AS (
@@ -1796,8 +1777,34 @@ def _shingle13_sql(name: str, src: str) -> str:
             ) WHERE s IS NOT NULL
             UNION
             SELECT doc_id, array_to_string(string_split(text, ' '), chr(31)) AS s
-            FROM {src} WHERE len(string_split(text, ' ')) < 13
+            FROM {src}
+            WHERE len(string_split(text, ' ')) < {n}
+              AND array_to_string(string_split(text, ' '), chr(31)) <> ''
         )"""
+
+
+def _shingle13_sql(name: str, src: str) -> str:
+    return _shingle_sql(name, src, 13)
+
+
+# decontaminate oracle: anchored on documents (LEFT JOINs) so zero-shingle
+# docs still emit their (0, 0, 0.0) row, and the shingle CTE carries the
+# whole-doc fallback arm — both mirroring Spark contamination_scores for
+# corpora with sub-n-token or empty docs (the shipped corpus has neither,
+# but the oracle must not silently depend on that)
+ORACLES["decontaminate_scores"] = f"""
+    WITH {_shingle_sql('sh', 'documents', 3)},
+    bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+    SELECT d.doc_id,
+           CAST(count(s.s) AS BIGINT) AS n_shingles,
+           CAST(count(b.s) AS BIGINT) AS n_contaminated,
+           round(CASE WHEN count(s.s) > 0 THEN count(b.s) / count(s.s)
+                      ELSE 0.0 END, 6) AS contamination_frac
+    FROM documents d
+    LEFT JOIN sh s ON s.doc_id = d.doc_id
+    LEFT JOIN bsh b ON b.s = s.s
+    GROUP BY d.doc_id
+"""
 
 
 def _pipeline_pretrain_oracle() -> None:

@@ -152,3 +152,49 @@ def test_bench_text_col_override(spark):
     got = {r["doc_id"]: r["n_contaminated"] for r in
            contamination_scores(docs, bench, n=3, bench_text_col="question").collect()}
     assert got[1] > 0 and got[2] == 0
+
+
+def test_oracle_handles_short_and_empty_docs(spark):
+    """The generated decontaminate oracle must agree with Spark on corpora
+    containing sub-n-token and empty docs (whole-doc fallback shingle +
+    zero-shingle rows — r4 review finding). Cross-engine check on a
+    synthetic corpus the driver's fixed tables don't cover."""
+    import duckdb
+
+    from gazetteer_entity_parser_spark.plans.queries import _shingle_sql
+
+    rows = [
+        (0, "alpha beta"),            # 2 tokens < n=3 -> whole-doc fallback
+        (1, ""),                      # empty: zero shingles
+        (20, "alpha beta"),           # doc_id % 20 == 0: in the bench slice
+        (3, "alpha beta gamma delta"),
+        (40, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    got = {
+        tuple(r)
+        for r in contamination_scores(docs, bench, n=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    sql = f"""
+        WITH {_shingle_sql('sh', 'documents', 3)},
+        bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+        SELECT d.doc_id,
+               CAST(count(s.s) AS BIGINT) AS n_shingles,
+               CAST(count(b.s) AS BIGINT) AS n_contaminated,
+               round(CASE WHEN count(s.s) > 0 THEN count(b.s) / count(s.s)
+                          ELSE 0.0 END, 6) AS contamination_frac
+        FROM documents d
+        LEFT JOIN sh s ON s.doc_id = d.doc_id
+        LEFT JOIN bsh b ON b.s = s.s
+        GROUP BY d.doc_id
+    """
+    oracle = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == oracle
+    # and the fallback really fires: the 2-token doc 0 is fully contaminated
+    # (doc 20 shares its exact whole-doc shingle), the empty doc scores 0
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][3] == 1.0
+    assert by_id[1] == (1, 0, 0, 0.0)

@@ -176,3 +176,25 @@ def test_keep_best_in_cluster_prefers_quality_over_min_id(spark):
     # cluster 1: docs 2 and 3 tie at 0.9 -> lowest id among the BEST (2),
     # not the cluster min id (1)
     assert out == {1: 2, 2: 2, 3: 2, 10: 10, 11: 10}
+
+
+def test_keep_best_in_cluster_tolerates_missing_scores(spark):
+    """A clustered doc absent from the score table must keep its row (NULL
+    score, sorted after every scored member) instead of silently vanishing
+    from the keeper decision table."""
+    from gazetteer_entity_parser_spark.operators.dedup import keep_best_in_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.3), (2, 0.9)],  # doc 3 and the whole cluster 10 unscored
+        "doc_id bigint, quality_score double",
+    )
+    rows = {r["doc_id"]: r for r in keep_best_in_cluster(clusters, scores).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}  # nobody vanished
+    assert rows[3]["keeper_id"] == 2  # unscored member never beats a scored one
+    assert rows[3]["quality_score"] is None
+    # all-unscored cluster: min-id fallback
+    assert rows[10]["keeper_id"] == 10 and rows[11]["keeper_id"] == 10

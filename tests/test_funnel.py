@@ -140,3 +140,17 @@ def test_event_transitions_counts(spark):
     got = {(r["prev_type"], r["next_type"]): r["n_transitions"]
            for r in event_transitions(ev).collect()}
     assert got == {("A", "B"): 3, ("B", "A"): 1}
+
+
+def test_funnel_numeric_time_column_with_window(spark):
+    """Numeric (epoch) time columns work with within_seconds — same dual
+    time contract as asof_join (r4 review finding)."""
+    ev = spark.createDataFrame(
+        [(1, 0, "A"), (1, 50, "B"), (1, 5000, "C"), (2, 0, "A"), (2, 90, "B"), (2, 95, "C")],
+        "user_id bigint, ts bigint, event_type string",
+    )
+    out = {r["user_id"]: r for r in funnel_steps(
+        ev, ["A", "B", "C"], within_seconds=100
+    ).collect()}
+    assert out[1]["t2"] == 50 and out[1]["t3"] is None  # C at 5000 misses window
+    assert out[2]["t3"] == 95

@@ -195,3 +195,15 @@ def test_unknown_method_rejected(spark):
     edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="method"):
         connected_components(edges, method="bfs")
+
+
+def test_star_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only edges are self-loops is still a graph vertex:
+    both methods must return it as a singleton (r4 review finding)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (9, 9)], "src bigint, dst bigint"
+    )
+    ml = {tuple(r) for r in connected_components(edges).collect()}
+    star = {tuple(r) for r in connected_components(edges, method="star").collect()}
+    assert star == ml
+    assert (9, 9) in star

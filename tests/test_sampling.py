@@ -248,3 +248,11 @@ def test_sample_hash_multi_column_key(spark):
     assert ka != kb  # the second key column participates
     ka2 = {r["doc_id"] for r in sample_hash(a, 0.5, key_cols=("doc_id", "source"), seed=1).collect()}
     assert ka == ka2
+
+
+def test_pack_sequences_rejects_nonpositive_budget(spark):
+    from gazetteer_entity_parser_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        pack_sequences(docs, budget_tokens=0)
