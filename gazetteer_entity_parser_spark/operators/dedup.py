@@ -181,7 +181,11 @@ def minhash_lsh_candidates(
     # the chain branch only enters the plan when a hot bucket actually
     # exists: one cheap reduce over the (persisted-anyway) sized frame —
     # an always-present empty branch cost ~0.6s/run in fixed stage
-    # overhead (empty window sort + sig rejoin + union) on the driver bench
+    # overhead (empty window sort + sig rejoin + union) on the driver bench.
+    # NOTE: operator construction is therefore eager (building the plan runs
+    # a Spark job), and the branch decision survives cache eviction only
+    # because the lineage is deterministic — persist non-deterministic
+    # inputs before calling (see lsh note in similarity.py)
     max_seen = sized.agg(F.max("_bsz")).first()[0]
     if max_seen is None or max_seen <= max_bucket_size:
         return pairs_small.distinct()

@@ -164,6 +164,14 @@ def pack_sequences(
             "budget would divide the running sum by zero and emit NULL pack "
             "ids for every row"
         )
+    if not 1 <= int(shard_chars) <= 16:
+        raise ValueError(
+            f"shard_chars must be in [1, 16] (got {shard_chars}): the shard "
+            "id is a prefix of a 16-hex-char hash, so >16 makes every shard "
+            "a single document (packing silently disabled) and <=0 collapses "
+            "everything into ONE global window sort — the skew trap sharding "
+            "exists to avoid"
+        )
     h = _hash_prefix([id_col], seed)
     # NULL text counts 0 tokens explicitly: size(NULL array) is NULL under
     # ANSI (and -1 legacy), either of which would poison the running sum

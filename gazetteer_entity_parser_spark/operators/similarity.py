@@ -412,7 +412,13 @@ def cosine_similar_pairs_lsh(
     )
     # chain branch enters the plan only when a hot bucket exists (one cheap
     # reduce over the persisted-anyway sized frame; the always-present
-    # empty branch was measured ~0.6s/run of fixed stage overhead)
+    # empty branch was measured ~0.6s/run of fixed stage overhead).
+    # NOTE: this makes operator CONSTRUCTION eager — building the plan runs
+    # a Spark job. The branch decision is safe across cache eviction because
+    # the lineage is deterministic (parquet scan + deterministic hashes):
+    # a recompute reproduces the same bucket sizes. Callers feeding a
+    # NON-deterministic input (e.g. rand() columns) must persist/checkpoint
+    # it first or the chain guard could be silently absent after eviction.
     max_seen = sized.agg(F.max("_bsz")).first()[0]
     if max_seen is None or max_seen <= max_bucket_size:
         cand = pairs_small.distinct()

@@ -259,8 +259,11 @@ def tfidf_scores(
     """TF-IDF per (doc, token): tf = in-doc term count, df = documents
     containing the token, idf = ln(N / df), score = tf * idf (rounded 6).
     The relational formulation — explode -> two aggregations — with N
-    (total docs) as the single driver-side scalar the definition needs
-    (one count job; a number, not data).
+    (total docs) computed IN-PLAN as a 1-row count aggregate cross-joined
+    (broadcast NLJ of a single row) into the scoring projection, so the
+    whole pipeline is ONE Spark job: no separate docs.count() action, no
+    second corpus scan / file-listing pass before the real job (r4 verdict
+    item #3).
 
     Scale shape: the (doc, token) exchange carries counts, not text; the
     df table is vocabulary-sized and joins the tf table on the token key.
@@ -269,7 +272,7 @@ def tfidf_scores(
     it fits, plain shuffle join otherwise — Catalyst/AQE decide by size).
     Stopword-heavy tokens get idf -> 0 naturally; df == N gives exactly 0.
     """
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -280,12 +283,13 @@ def tfidf_scores(
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
             "token",
             "tf",
             "df",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6).alias(
                 "tfidf"
             ),
         )
