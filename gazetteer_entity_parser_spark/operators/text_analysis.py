@@ -294,3 +294,60 @@ def tfidf_scores(
             ),
         )
     )
+
+
+def length_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approximate: bool = False,
+    accuracy: int = 10_000,
+    suffix: str = "chars",
+) -> DataFrame:
+    """Per-group length profile: count, min, max, and the requested
+    quantiles of ``value_col`` (named ``p{q*100:g}_{suffix}`` /
+    ``min_{suffix}`` / ``max_{suffix}``; p50/p90/p99 of n_chars by
+    default, matching the registered oracle's column names).
+
+    Two physical modes:
+
+    - ``approximate=False`` (default, the oracle-checked path): Spark
+      ``percentile`` — EXACT linear-interpolated quantiles, bit-identical
+      to DuckDB ``quantile_cont``. Cost at scale: the aggregate buffers
+      every value per group (OpenHashMap of counts), so a hot group's
+      state is O(distinct values) and the final step sorts it — the last
+      per-group sort in the text family.
+    - ``approximate=True`` (the 100 TB path): ``percentile_approx`` —
+      Greenwald-Khanna sketch, O(accuracy) state per group, MERGEABLE
+      (map-side partial aggregation works; exact percentile must also
+      ship per-value counts to the reducer). Guarantee: the returned
+      value's RANK is within n/accuracy of the true rank (pinned in
+      tests/test_text_analysis.py against the guarantee, not a tolerance
+      guess). Returns an actual data value (no interpolation), so it is
+      NOT bit-comparable across engines — which is why the exact mode
+      stays the registered oracle row.
+    """
+    if approximate:
+        qcols = [
+            F.round(
+                F.expr(
+                    f"percentile_approx({value_col}, {q}, {int(accuracy)})"
+                ).cast("double"),
+                6,
+            ).alias(f"p{q * 100:g}_{suffix}")
+            for q in quantiles
+        ]
+    else:
+        qcols = [
+            F.round(F.expr(f"percentile({value_col}, {q})"), 6).alias(
+                f"p{q * 100:g}_{suffix}"
+            )
+            for q in quantiles
+        ]
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        *qcols,
+        F.min(value_col).alias(f"min_{suffix}"),
+        F.max(value_col).alias(f"max_{suffix}"),
+    )

@@ -2060,21 +2060,13 @@ def q_corpus_length_profile(spark, sf_dir):
     percentiles (Spark `percentile` == DuckDB `quantile_cont`, pinned
     bit-identical) — the corpus-analysis aggregate a data-curation run
     reports per mixture source. At 100 TB exact percentiles cost a
-    per-group sort; the approximate path (percentile_approx / t-digest)
-    trades that for a mergeable sketch but is engine-specific and
-    deliberately not the oracle-checked default here."""
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
-            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
-            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
-            F.min("n_chars").alias("min_chars"),
-            F.max("n_chars").alias("max_chars"),
-        )
-    )
+    per-group sort; ``length_profile(approximate=True)`` is the mergeable
+    Greenwald-Khanna path (rank error <= n/accuracy, guarantee pinned in
+    tests/test_text_analysis.py) but returns engine-specific values, so the
+    exact mode stays the oracle-checked row."""
+    from ..operators.text_analysis import length_profile
+
+    return length_profile(_docs(spark, sf_dir), approximate=False)
 
 
 def q_pack_sequences(spark, sf_dir):

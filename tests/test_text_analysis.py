@@ -186,3 +186,95 @@ def test_tfidf_scores_semantics(spark):
     )
     everywhere = {r["token"]: r["tfidf"] for r in tfidf_scores(docs2).collect()}
     assert everywhere["x"] == 0.0
+
+
+def test_tfidf_single_job_no_separate_count_action(spark):
+    """N must be computed in-plan (broadcast 1-row aggregate), not via a
+    docs.count() driver action at construction time: building the plan
+    must launch zero Spark jobs."""
+    from gazetteer_entity_parser_spark.operators.text_analysis import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id bigint, text string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = tfidf_scores(docs)  # construction: no action may run here
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "tfidf_scores construction launched a Spark job"
+    rows = {(r["doc_id"], r["token"]): r["tfidf"] for r in df.collect()}
+    import math
+
+    # doc1: tf(a)=2, df(a)=1, N=2 -> 2*ln(2)
+    assert rows[(1, "a")] == round(2 * math.log(2.0), 6)
+    assert rows[(1, "b")] == 0.0  # df == N
+
+
+def test_length_profile_exact_matches_inline_agg(spark):
+    from gazetteer_entity_parser_spark.operators.text_analysis import length_profile
+
+    docs = spark.createDataFrame(
+        [("web", i, float(i)) for i in range(1, 101)]
+        + [("book", i, float(i * 3)) for i in range(1, 8)],
+        "source string, doc_id bigint, n_chars double",
+    )
+    rows = {r["source"]: r for r in length_profile(docs).collect()}
+    # 100 values 1..100: quantile_cont(0.5) = 50.5, 0.9 -> 90.1, 0.99 -> 99.01
+    assert rows["web"]["n_docs"] == 100
+    assert rows["web"]["p50_chars"] == 50.5
+    assert rows["web"]["p90_chars"] == 90.1
+    assert rows["web"]["p99_chars"] == 99.01
+    assert rows["web"]["min_chars"] == 1.0 and rows["web"]["max_chars"] == 100.0
+    assert rows["book"]["p50_chars"] == 12.0  # 7 values 3..21, median = 12
+
+
+def test_length_profile_approx_rank_error_guarantee(spark):
+    """percentile_approx guarantees the returned value's rank is within
+    n/accuracy of ceil(q*n). Pin the GUARANTEE (not a tolerance guess):
+    for every quantile and accuracy, the approx result must be a data value
+    whose rank lies inside [ceil(q*n) - n/acc - 1, ceil(q*n) + n/acc + 1]
+    (+-1 slack for the rank definition boundary at interpolation-free
+    sketches)."""
+    import math as m
+
+    from gazetteer_entity_parser_spark.operators.text_analysis import length_profile
+
+    n = 2000
+    vals = sorted((i * 37) % n + 0.0 for i in range(n))  # permutation of 0..n-1
+    docs = spark.createDataFrame(
+        [("s", i, float((i * 37) % n)) for i in range(n)],
+        "source string, doc_id bigint, n_chars double",
+    )
+    for accuracy in (100, 10_000):
+        row = length_profile(docs, approximate=True, accuracy=accuracy).collect()[0]
+        for q, col in ((0.5, "p50_chars"), (0.9, "p90_chars"), (0.99, "p99_chars")):
+            got = row[col]
+            assert got in vals, f"approx percentile must be an actual value, got {got}"
+            rank = vals.index(got) + 1
+            target = m.ceil(q * n)
+            tol = n / accuracy + 1
+            assert abs(rank - target) <= tol, (
+                f"acc={accuracy} q={q}: rank {rank} vs target {target} (tol {tol})"
+            )
+    # accuracy >= n: rank-exact (sketch stores every value)
+    exact_row = length_profile(docs, approximate=True, accuracy=10_000).collect()[0]
+    assert exact_row["p50_chars"] == vals[m.ceil(0.5 * n) - 1]
+
+
+def test_length_profile_approx_is_mergeable_partial_agg(spark):
+    """The 100 TB point of the approx mode: the physical plan must show a
+    two-phase hash aggregate (partial_percentile_approx map-side, merge
+    final) — i.e. a mergeable sketch, not a per-group value buffer that
+    only aggregates at the reducer."""
+    from gazetteer_entity_parser_spark.operators.text_analysis import length_profile
+
+    docs = spark.createDataFrame(
+        [("s", 1, 5.0)], "source string, doc_id bigint, n_chars double"
+    ).repartition(4)
+    plan = (
+        length_profile(docs, approximate=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_percentile_approx" in plan, plan
