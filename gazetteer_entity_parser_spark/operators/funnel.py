@@ -35,15 +35,31 @@ def funnel_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    window_anchor: str = "first",
 ) -> DataFrame:
     """Per-user funnel completion times: (user, t1, t2, ..., tk) with tk
     NULL where the user never completed step k. Step k's time is the
     EARLIEST event of type ``steps[k]`` strictly after step k-1's time
-    (and, when ``within_seconds`` is set, no later than t1 + window).
-    Users with no step-1 event are absent (they carry no funnel state)."""
+    (greedy first-occurrence — NOT a search over later prefix completions)
+    and, when ``within_seconds`` is set, no later than the anchor + window.
+    Users with no step-1 event are absent (they carry no funnel state).
+
+    ``window_anchor`` names the deadline convention — product-analytics
+    tools disagree here, so it is an explicit argument rather than a silent
+    choice (both semantics property-pinned in tests/test_funnel.py):
+
+    - ``"first"`` (default, Amplitude-style conversion window): every step
+      must land within ``within_seconds`` of step ONE's time.
+    - ``"previous"`` (rolling window, GA4 "within N of prior step"): step k
+      must land within ``within_seconds`` of step k-1's time.
+    """
     steps = list(steps)
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
+    if window_anchor not in ("first", "previous"):
+        raise ValueError(
+            f"window_anchor must be 'first' or 'previous' (got {window_anchor!r})"
+        )
     ev = events.select(
         F.col(user_col).alias("user"),
         F.col(ts_col).alias("ts"),
@@ -62,12 +78,13 @@ def funnel_steps(
     for k, step in enumerate(steps[1:], start=2):
         cond = F.col("ts") > F.col(f"t{k - 1}")
         if within_seconds is not None:
+            anchor = "t1" if window_anchor == "first" else f"t{k - 1}"
             if ts_is_timestamp:
-                deadline = F.col("t1") + F.expr(
+                deadline = F.col(anchor) + F.expr(
                     f"INTERVAL {int(within_seconds)} SECOND"
                 )
             else:
-                deadline = F.col("t1") + F.lit(int(within_seconds))
+                deadline = F.col(anchor) + F.lit(int(within_seconds))
             cond = cond & (F.col("ts") <= deadline)
         found = (
             ev.where(F.col("etype") == step)
@@ -90,13 +107,14 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    window_anchor: str = "first",
 ) -> DataFrame:
     """The funnel report: one row per step with the number of users who
     completed that step (in order, within the window) and the conversion
     rate vs step 1. Output: (step_idx, step, n_users, conversion)."""
     steps = list(steps)
     per_user = funnel_steps(
-        events, steps, within_seconds, user_col, ts_col, type_col
+        events, steps, within_seconds, user_col, ts_col, type_col, window_anchor
     )
     agg = per_user.agg(
         *[F.count(f"t{k}").alias(f"n{k}") for k in range(1, len(steps) + 1)]
