@@ -118,3 +118,82 @@ def triples_with_salted_agg(raw_triples: DataFrame, salt_buckets: int = 16) -> D
         F.min("sr").alias("subj_rank"),
         F.min("or_").alias("obj_rank"),
     )
+
+
+def edge_pmi(triples: DataFrame) -> DataFrame:
+    """Pointwise mutual information per canonical edge: how much more often
+    (subj, obj) co-occur than their marginals predict —
+    ``pmi = ln(weight * T / (w_subj * w_obj))`` with T the total edge
+    weight, w_subj the subject marginal, w_obj the object marginal. The
+    KG-curation significance filter: high-weight edges between ubiquitous
+    entities score low, rare-but-always-together pairs score high.
+
+    Determinism: all four inputs are BIGINT sums (order-independent); the
+    products stay < 2^53 (exact as doubles) far beyond bench scale, the
+    division is a single correctly-rounded IEEE op, and ln() is
+    bit-compatible Spark-vs-DuckDB at round-6 (pinned by text_tfidf).
+
+    Scale shape: caller should pass a persisted/cached triples frame — it
+    feeds the two marginal aggregations, the total, and the join (4 scans
+    of |E|; the marginals and total are |V|- and 1-sized broadcast
+    dimensions, so the only |E|-sized exchanges are the two marginal
+    partial-aggs and the final joins are broadcasts).
+    """
+    tot = triples.agg(F.sum("weight").cast("double").alias("_T"))
+    ws = triples.groupBy("subj").agg(F.sum("weight").alias("_w_subj"))
+    wo = triples.groupBy("obj").agg(F.sum("weight").alias("_w_obj"))
+    return (
+        triples.join(F.broadcast(ws), "subj")
+        .join(F.broadcast(wo), "obj")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "subj",
+            "obj",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.round(
+                F.log(
+                    F.col("weight").cast("double")
+                    * F.col("_T")
+                    / (
+                        F.col("_w_subj").cast("double")
+                        * F.col("_w_obj").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def entity_neighbors_topk(triples: DataFrame, k: int = 3) -> DataFrame:
+    """Ranked adjacency materialization: each entity's top-k strongest
+    neighbors in the UNDIRECTED view of the KG (weights of (a,b) and (b,a)
+    merged), deterministic tiebreak by neighbor name. The per-entity
+    neighbor list a KG-serving layer precomputes.
+
+    Scale shape: role-exploded union -> one (entity, neighbor)-keyed
+    aggregation -> one entity-keyed window; the window input is the
+    aggregated adjacency (|E|, already deduplicated), and rank<=k prunes
+    before anything else consumes it. Caller passes a persisted triples
+    frame (the union scans it twice)."""
+    sym = triples.select(
+        F.col("subj").alias("entity"), F.col("obj").alias("neighbor"), "weight"
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("entity"), F.col("subj").alias("neighbor"), "weight"
+        )
+    )
+    und = sym.groupBy("entity", "neighbor").agg(F.sum("weight").alias("weight"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy(F.desc("weight"), F.asc("neighbor"))
+    return (
+        und.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(k))
+        .select(
+            "entity",
+            "neighbor",
+            F.col("weight").cast("bigint").alias("weight"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -252,6 +252,54 @@ def q_kg_entity_degree(spark, sf_dir):
     )
 
 
+def _canonical_triples_persisted(spark, sf_dir):
+    """Shared input for the graph-analytics queries: canonical triples,
+    persisted because every consumer scans the frame more than once
+    (pagerank: per-iteration join; pmi: marginals + total + join;
+    neighbors: both union roles) — without the boundary each scan re-runs
+    the kernel extraction (the kg_entity_degree lesson, r4 verdict #1)."""
+    return canonicalize_triples(
+        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
+    ).persist()
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """North-rule Stage D+ entity importance: 10 iterations of weighted
+    fixed-point PageRank over the canonical co-occurrence KG. Integer
+    arithmetic end-to-end, so the DuckDB oracle (the same 10 iterations
+    unrolled as generated CTEs) matches bit-for-bit."""
+    from ..operators.graph import pagerank
+
+    return pagerank(_canonical_triples_persisted(spark, sf_dir), n_iter=10)
+
+
+def q_kg_edge_pmi(spark, sf_dir):
+    """Edge-significance scoring: PMI of each canonical edge vs its
+    marginals — the KG-curation filter that separates structural edges
+    from popularity noise."""
+    from ..operators.triples import edge_pmi
+
+    return edge_pmi(_canonical_triples_persisted(spark, sf_dir))
+
+
+def q_kg_entity_neighbors(spark, sf_dir):
+    """Ranked adjacency materialization: top-3 strongest undirected
+    neighbors per entity with deterministic tiebreak."""
+    from ..operators.triples import entity_neighbors_topk
+
+    return entity_neighbors_topk(_canonical_triples_persisted(spark, sf_dir), k=3)
+
+
+def q_kg_alias_resolution(spark, sf_dir):
+    """Entity resolution over gazetteer surface forms: first-char blocked
+    Levenshtein<=2 cross-entity merge candidates."""
+    from ..operators.entity_resolution import resolve_similar_values
+
+    return resolve_similar_values(
+        alias_gazetteer(_docs(spark, sf_dir), N_VOCAB), max_distance=2
+    )
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -1779,6 +1827,99 @@ ORACLES["corpus_length_profile"] = """
 _sampling_oracles()  # overwrites the None placeholders in the dict literal
 
 
+def _kg_graph_oracles() -> None:
+    """Generated oracles for the graph-analytics family. The PageRank CTE
+    chain is UNROLLED from the same (scale, d_pct, n_iter) constants the
+    Spark operator defaults to, so the two sides can only agree if the
+    fixed-point recurrence itself agrees — iteration count included."""
+    trip = """trip AS (
+            SELECT m1.resolved AS subj, m2.resolved AS obj,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM mentions m1 JOIN mentions m2
+              ON m1.url = m2.url AND m1.sent_idx = m2.sent_idx
+             AND m1.tok_idx < m2.tok_idx
+            GROUP BY 1, 2
+        )"""
+    head = f"WITH {_TOKS_CTE[1:]}, {_VOCAB_CTE[1:]}, {_MENTIONS_CTE[1:]}, {trip}"
+
+    scale, d_pct, n_iter = 1_000_000, 85, 10
+    base = scale * (100 - d_pct) // 100
+    parts = [
+        "nodes AS (SELECT subj AS entity FROM trip UNION SELECT obj FROM trip)",
+        "outw AS (SELECT subj, CAST(sum(weight) AS BIGINT) AS wout"
+        " FROM trip GROUP BY 1)",
+        f"r0 AS (SELECT entity, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""c{i} AS (
+            SELECT t.obj AS entity,
+                   CAST(sum(CAST(floor(r.r * {d_pct}.0 * t.weight
+                                       / (100.0 * o.wout)) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM trip t JOIN r{i - 1} r ON r.entity = t.subj
+                        JOIN outw o ON o.subj = t.subj
+            GROUP BY 1)""")
+        parts.append(f"""r{i} AS (
+            SELECT n.entity, CAST({base} + COALESCE(c.c, 0) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN c{i} c ON c.entity = n.entity)""")
+    ORACLES["kg_pagerank"] = (
+        head + ",\n        " + ",\n        ".join(parts)
+        + f"""
+        SELECT entity, r AS rank_fp, round(r / {scale}.0, 6) AS score
+        FROM r{n_iter}
+    """
+    )
+
+    ORACLES["kg_edge_pmi"] = head + """,
+        tot AS (SELECT CAST(sum(weight) AS DOUBLE) AS T FROM trip),
+        ws AS (SELECT subj, CAST(sum(weight) AS BIGINT) AS w_subj
+               FROM trip GROUP BY 1),
+        wo AS (SELECT obj, CAST(sum(weight) AS BIGINT) AS w_obj
+               FROM trip GROUP BY 1)
+        SELECT t.subj, t.obj, t.weight,
+               round(ln(CAST(t.weight AS DOUBLE) * tot.T
+                        / (CAST(ws.w_subj AS DOUBLE)
+                           * CAST(wo.w_obj AS DOUBLE))), 6) AS pmi
+        FROM trip t
+        JOIN ws ON ws.subj = t.subj
+        JOIN wo ON wo.obj = t.obj
+        CROSS JOIN tot
+    """
+
+    ORACLES["kg_entity_neighbors"] = head + """,
+        sym AS (
+            SELECT subj AS entity, obj AS neighbor, weight FROM trip
+            UNION ALL
+            SELECT obj AS entity, subj AS neighbor, weight FROM trip
+        ),
+        und AS (
+            SELECT entity, neighbor, CAST(sum(weight) AS BIGINT) AS weight
+            FROM sym GROUP BY 1, 2
+        )
+        SELECT entity, neighbor, weight, CAST(rk AS INT) AS rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY entity ORDER BY weight DESC, neighbor ASC
+            ) AS rk FROM und
+        ) WHERE rk <= 3
+    """
+
+    ORACLES["kg_alias_resolution"] = f"""
+        WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
+        SELECT a.raw_value AS value_a, b.raw_value AS value_b,
+               a.resolved_value AS entity_a, b.resolved_value AS entity_b,
+               CAST(levenshtein(a.raw_value, b.raw_value) AS INT) AS distance
+        FROM alias_gaz a JOIN alias_gaz b
+          ON substr(a.raw_value, 1, 1) = substr(b.raw_value, 1, 1)
+         AND a.raw_value < b.raw_value
+        WHERE abs(length(a.raw_value) - length(b.raw_value)) <= 2
+          AND levenshtein(a.raw_value, b.raw_value) <= 2
+          AND a.resolved_value <> b.resolved_value
+    """
+
+
+_kg_graph_oracles()
+
+
 def _shingle_sql(name: str, src: str, n: int) -> str:
     """CTE text: distinct n-token shingles of ``src`` (doc_id, text) —
     lead()-chain n-grams PLUS the whole-doc fallback shingle for docs with
@@ -2495,6 +2636,13 @@ QUERIES = {
     "media_features_full": q_media_features_full,
     "media_resize": q_media_resize,
     "media_frame_plan": q_media_frame_plan,
+    # round-5 additions (graph analytics + ER) — new, so inside the window
+    "kg_pagerank": q_kg_pagerank,
+    "kg_edge_pmi": q_kg_edge_pmi,
+    "kg_entity_neighbors": q_kg_entity_neighbors,
+    "kg_alias_resolution": q_kg_alias_resolution,
+    # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
+    "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,
     "kg_gazetteer_rank": q_kg_gazetteer_rank,
     "kg_alias_gazetteer": q_kg_alias_gazetteer,
@@ -2529,7 +2677,6 @@ QUERIES = {
     "pipeline_clean_corpus": q_pipeline_clean_corpus,
     "pipeline_curate_corpus": q_pipeline_curate_corpus,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "decontaminate_scores": q_decontaminate_scores,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters_minhash": q_dedup_clusters_minhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -207,3 +207,80 @@ def test_star_keeps_self_loop_only_vertices(spark):
     star = {tuple(r) for r in connected_components(edges, method="star").collect()}
     assert star == ml
     assert (9, 9) in star
+
+
+# ---------------------------------------------------------------------------
+# pagerank (fixed-point weighted)
+# ---------------------------------------------------------------------------
+
+def _pagerank_reference(edges, n_iter=10, d_pct=85, scale=1_000_000):
+    """Independent driver-side replay of the fixed-point recurrence: same
+    integer base, same floor(double) contribution formula."""
+    import math
+    from collections import defaultdict
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    wout = defaultdict(int)
+    for u, _, w in edges:
+        wout[u] += w
+    base = scale * (100 - d_pct) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        c = defaultdict(int)
+        for u, v, w in edges:
+            c[v] += math.floor(r[u] * float(d_pct) * float(w) / (100.0 * wout[u]))
+        r = {n: base + c.get(n, 0) for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5),
+        ("d", "c", 1),  # d is a source-only node (in-degree 0)
+        ("b", "e", 1),  # e is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string, weight bigint")
+    got = {r["entity"]: r["rank_fp"] for r in pagerank(df, n_iter=10).collect()}
+    assert got == _pagerank_reference(edges, n_iter=10)
+    # dangling node keeps only the base seed? No — e RECEIVES from b, it
+    # just contributes nothing; d receives nothing so d sits at the base.
+    assert got["d"] == 150_000
+
+
+def test_pagerank_partitioning_independent(spark):
+    """Integer sums are associative: reduction order (partition count)
+    cannot change a single rank bit."""
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}", (i % 5) + 1) for i in range(60)]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    df = spark.createDataFrame(edges, "subj string, obj string, weight bigint")
+    a = {tuple(r) for r in pagerank(df, n_iter=6).collect()}
+    b = {tuple(r) for r in pagerank(df.repartition(13), n_iter=6).collect()}
+    assert a == b
+
+
+def test_pagerank_checkpoint_boundary_identical(spark):
+    """localCheckpoint truncation must not change values — run the same
+    graph with checkpoint_every=2 vs never (checkpoint_every > n_iter)."""
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("c", "b", 2)]
+    df = spark.createDataFrame(edges, "subj string, obj string, weight bigint")
+    a = {tuple(r) for r in pagerank(df, n_iter=5, checkpoint_every=2).collect()}
+    b = {tuple(r) for r in pagerank(df, n_iter=5, checkpoint_every=99).collect()}
+    assert a == b
+
+
+def test_pagerank_validates_args(spark):
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b", 1)], "subj string, obj string, weight bigint")
+    with pytest.raises(ValueError, match="d_pct"):
+        pagerank(df, d_pct=0)
+    with pytest.raises(ValueError, match="d_pct"):
+        pagerank(df, d_pct=100)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
