@@ -300,6 +300,26 @@ def q_kg_alias_resolution(spark, sf_dir):
     )
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-entity triangle count + local clustering coefficient over the
+    undirected co-occurrence KG — degree-oriented wedge counting, so hub
+    fan-out is bounded by oriented out-degree (O(sqrt(|E|)))."""
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_canonical_triples_persisted(spark, sf_dir))
+
+
+def q_kg_related_entities(spark, sf_dir):
+    """Structural relatedness without a direct edge: Jaccard of undirected
+    neighbor sets for every pair sharing >= 25 neighbors (the near-complete
+    vocab graph makes a lower cut return all pairs at ~1.0)."""
+    from ..operators.graph import related_entities_jaccard
+
+    return related_entities_jaccard(
+        _canonical_triples_persisted(spark, sf_dir), min_common=25
+    )
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -1903,6 +1923,62 @@ def _kg_graph_oracles() -> None:
         ) WHERE rk <= 3
     """
 
+    ORACLES["kg_triangles"] = head + """,
+        und AS (
+            SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+            FROM trip WHERE subj <> obj
+        ),
+        deg AS (
+            SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT lo AS entity FROM und
+                UNION ALL SELECT hi FROM und
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM und e1
+            JOIN und e2 ON e2.lo = e1.hi
+            JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        ),
+        credit AS (
+            SELECT entity, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT a AS entity FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY 1
+        )
+        SELECT d.entity, d.degree,
+               CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles,
+               round(CASE WHEN d.degree >= 2
+                          THEN 2.0 * COALESCE(cr.triangles, 0)
+                               / (CAST(d.degree AS DOUBLE)
+                                  * (CAST(d.degree AS DOUBLE) - 1.0))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg d LEFT JOIN credit cr ON cr.entity = d.entity
+    """
+
+    ORACLES["kg_related_entities"] = head + """,
+        adj AS (
+            SELECT DISTINCT e, n FROM (
+                SELECT subj AS e, obj AS n FROM trip
+                UNION ALL SELECT obj AS e, subj AS n FROM trip
+            ) WHERE e <> n
+        ),
+        deg AS (SELECT e, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        com AS (
+            SELECT a.e AS entity_a, b.e AS entity_b,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM adj a JOIN adj b ON a.n = b.n AND a.e < b.e
+            GROUP BY 1, 2 HAVING count(*) >= 25
+        )
+        SELECT c.entity_a, c.entity_b, c.common,
+               round(CAST(c.common AS DOUBLE)
+                     / CAST(da.d + db.d - c.common AS DOUBLE), 6) AS jaccard
+        FROM com c
+        JOIN deg da ON da.e = c.entity_a
+        JOIN deg db ON db.e = c.entity_b
+    """
+
     ORACLES["kg_alias_resolution"] = f"""
         WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
         SELECT a.raw_value AS value_a, b.raw_value AS value_b,
@@ -2641,6 +2717,8 @@ QUERIES = {
     "kg_edge_pmi": q_kg_edge_pmi,
     "kg_entity_neighbors": q_kg_entity_neighbors,
     "kg_alias_resolution": q_kg_alias_resolution,
+    "kg_triangles": q_kg_triangles,
+    "kg_related_entities": q_kg_related_entities,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

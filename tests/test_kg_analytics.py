@@ -145,3 +145,161 @@ def test_resolution_blocking_is_first_char(spark):
 def test_resolution_validates_distance(spark):
     with pytest.raises(ValueError, match="max_distance"):
         resolve_similar_values(_gaz_df(spark), max_distance=0)
+
+
+# ---------------------------------------------------------------------------
+# triangle counts / clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _brute_triangles(edges):
+    """Reference: undirected simple graph, per-node triangle count."""
+    from itertools import combinations
+
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    nodes = sorted({x for e in und for x in e})
+    nbr = {n: set() for n in nodes}
+    for u, v in und:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in nbr[a] and c in nbr[a] and c in nbr[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (len(nbr[n]), tri[n]) for n in nodes}
+
+
+def test_triangles_match_brute_force_random_graph(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(18), rng.randrange(18)) for _ in range(90)})
+    df = spark.createDataFrame(
+        [(f"n{u:02d}", f"n{v:02d}") for u, v in edges], "subj string, obj string"
+    )
+    got = {
+        r["entity"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+    expect = _brute_triangles([(f"n{u:02d}", f"n{v:02d}") for u, v in edges])
+    assert set(got) == set(expect)
+    for n, (d, t) in expect.items():
+        gd, gt, gc = got[n]
+        assert (gd, gt) == (d, t), n
+        want_c = round(2.0 * t / (d * (d - 1.0)), 6) if d >= 2 else 0.0
+        assert gc == pytest.approx(want_c), n
+
+
+def test_triangles_direction_and_duplicates_collapse(spark):
+    """(a,b) and (b,a) plus repeats are ONE undirected edge; a 3-cycle with
+    reversed duplicate edges is still exactly one triangle per corner."""
+    from gazetteer_entity_parser_spark.operators.graph import triangle_counts
+
+    rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c"), ("a", "a")]
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    got = {r["entity"]: (r["degree"], r["triangles"]) for r in triangle_counts(df).collect()}
+    assert got == {"a": (2, 1), "b": (2, 1), "c": (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# related entities (neighborhood Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard(edges, min_common=1):
+    und = {}
+    for u, v in edges:
+        if u != v:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    out = {}
+    nodes = sorted(und)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            c = len(und[a] & und[b])
+            if c >= min_common:
+                out[(a, b)] = (c, round(c / len(und[a] | und[b]), 6))
+    return out
+
+
+def test_related_entities_match_brute_force(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import (
+        related_entities_jaccard,
+    )
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(15), rng.randrange(15)) for _ in range(60)})
+    named = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+    df = spark.createDataFrame(named, "subj string, obj string")
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["common"], r["jaccard"])
+        for r in related_entities_jaccard(df, min_common=2).collect()
+    }
+    expect = _brute_jaccard(named, min_common=2)
+    assert set(got) == set(expect)
+    for k, (c, j) in expect.items():
+        assert got[k][0] == c, k
+        assert got[k][1] == pytest.approx(j), k
+
+
+def test_related_entities_no_direct_edge_required(spark):
+    """x and y never co-occur but share both p and q -> related."""
+    from gazetteer_entity_parser_spark.operators.graph import (
+        related_entities_jaccard,
+    )
+
+    rows = [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")]
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["common"], r["jaccard"])
+        for r in related_entities_jaccard(df, min_common=2).collect()
+    }
+    assert got[("x", "y")] == (2, 1.0)
+
+
+def test_related_entities_hub_cap_is_lower_bound(spark):
+    """With the hub pivot capped out, common undercounts (lower-bound
+    score) and hub-only pairs vanish — the documented trade."""
+    from gazetteer_entity_parser_spark.operators.graph import (
+        related_entities_jaccard,
+    )
+
+    # hub connects to everyone; x,y also share private neighbor p
+    rows = [("hub", t) for t in ("x", "y", "z", "w", "p")] + [
+        ("x", "p"), ("y", "p")
+    ]
+    df = spark.createDataFrame(rows, "subj string, obj string")
+    full = {
+        (r["entity_a"], r["entity_b"]): r["common"]
+        for r in related_entities_jaccard(df).collect()
+    }
+    capped = {
+        (r["entity_a"], r["entity_b"]): r["common"]
+        for r in related_entities_jaccard(df, max_neighbor_degree=3).collect()
+    }
+    assert full[("x", "y")] == 2  # hub + p
+    assert capped[("x", "y")] == 1  # p only: lower bound survives
+    assert ("w", "z") in full and ("w", "z") not in capped  # hub-only pair gone
+    for k, c in capped.items():
+        assert c <= full[k]
+
+
+def test_related_entities_validates_args(spark):
+    from gazetteer_entity_parser_spark.operators.graph import (
+        related_entities_jaccard,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    with pytest.raises(ValueError, match="min_common"):
+        related_entities_jaccard(df, min_common=0)
+    with pytest.raises(ValueError, match="max_neighbor_degree"):
+        related_entities_jaccard(df, max_neighbor_degree=0)
