@@ -471,3 +471,69 @@ def related_entities_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    source_col: str = "entity",
+) -> DataFrame:
+    """Multi-source BFS over the UNDIRECTED graph: for every (source,
+    entity) pair with entity reachable from that source within
+    ``max_hops``, the exact hop distance. The KG path primitive —
+    landmark-distance features, neighborhood expansion, "how far is X
+    from Y" — computed for ALL sources simultaneously (one frame keyed by
+    (entity, source), not a per-source loop).
+
+    Level-synchronous frontier expansion: round k joins the CURRENT
+    frontier (pairs first reached at distance k) against the edge list,
+    min-aggregates candidate pairs, and anti-joins the already-settled
+    set — BFS's first-visit-is-shortest invariant makes the settled set
+    append-only, so each round is one |frontier|-keyed join + one agg +
+    one anti-join, all entity-keyed; no all-pairs anything. The loop is
+    driver-side but touches no data (a cheap isEmpty() per round bounds
+    it); lineage is localCheckpoint-truncated EVERY round — the settled
+    frame otherwise accretes one union per hop and the frontier one
+    join-depth per hop (the min-label propagation lesson).
+
+    Unreachable (source, entity) pairs and hops beyond ``max_hops`` are
+    omitted. Sources not present in the graph contribute only their own
+    (source, source, 0) row.
+
+    Output: (source, entity, dist), dist in [0, max_hops].
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    settled = (
+        sources.select(F.col(source_col).alias("source"))
+        .distinct()
+        .select("source", F.col("source").alias("entity"), F.lit(0).alias("dist"))
+        .persist()
+    )
+    frontier = settled
+    for k in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        cand = (
+            frontier.join(sym, frontier["entity"] == sym["a"])
+            .select("source", F.col("b").alias("entity"), F.lit(k).alias("dist"))
+            .groupBy("source", "entity")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = cand.join(
+            settled.select("source", "entity"), ["source", "entity"], "left_anti"
+        ).localCheckpoint()
+        settled = settled.unionByName(frontier).localCheckpoint()
+    return settled.select("source", "entity", F.col("dist").cast("int").alias("dist"))

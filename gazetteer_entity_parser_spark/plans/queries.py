@@ -320,6 +320,23 @@ def q_kg_related_entities(spark, sf_dir):
     )
 
 
+def q_kg_hop_distances(spark, sf_dir):
+    """Multi-source BFS landmark distances: exact hop distance from every
+    entity starting with 'S' to every entity reachable within 6 hops of
+    it, computed for all sources in ONE frame (no per-source loop). The
+    oracle unrolls the same min-relaxation 6 times."""
+    from ..operators.graph import hop_distances
+
+    trip = _canonical_triples_persisted(spark, sf_dir)
+    sources = (
+        trip.select(F.col("subj").alias("entity"))
+        .unionByName(trip.select(F.col("obj").alias("entity")))
+        .distinct()
+        .where(F.col("entity").startswith("S"))
+    )
+    return hop_distances(trip, sources, max_hops=6)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -1979,6 +1996,36 @@ def _kg_graph_oracles() -> None:
         JOIN deg db ON db.e = c.entity_b
     """
 
+    hops_parts = [
+        """sym AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT subj AS a, obj AS b FROM trip
+                UNION ALL SELECT obj AS a, subj AS b FROM trip
+            ) WHERE a <> b
+        )""",
+        """srcs AS (
+            SELECT DISTINCT entity AS source FROM (
+                SELECT subj AS entity FROM trip
+                UNION ALL SELECT obj AS entity FROM trip
+            ) WHERE entity LIKE 'S%'
+        )""",
+        "d0 AS (SELECT source, source AS entity, 0 AS dist FROM srcs)",
+    ]
+    for i in range(1, 7):
+        hops_parts.append(f"""d{i} AS (
+            SELECT source, entity, min(dist) AS dist FROM (
+                SELECT source, entity, dist FROM d{i - 1}
+                UNION ALL
+                SELECT d.source, s.b AS entity, d.dist + 1 AS dist
+                FROM d{i - 1} d JOIN sym s ON s.a = d.entity
+            ) GROUP BY 1, 2)""")
+    ORACLES["kg_hop_distances"] = (
+        head + ",\n        " + ",\n        ".join(hops_parts)
+        + """
+        SELECT source, entity, CAST(dist AS INT) AS dist FROM d6
+    """
+    )
+
     ORACLES["kg_alias_resolution"] = f"""
         WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
         SELECT a.raw_value AS value_a, b.raw_value AS value_b,
@@ -2719,6 +2766,7 @@ QUERIES = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_triangles": q_kg_triangles,
     "kg_related_entities": q_kg_related_entities,
+    "kg_hop_distances": q_kg_hop_distances,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

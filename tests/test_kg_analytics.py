@@ -303,3 +303,83 @@ def test_related_entities_validates_args(spark):
         related_entities_jaccard(df, min_common=0)
     with pytest.raises(ValueError, match="max_neighbor_degree"):
         related_entities_jaccard(df, max_neighbor_degree=0)
+
+
+# ---------------------------------------------------------------------------
+# hop distances (multi-source BFS)
+# ---------------------------------------------------------------------------
+
+
+def _brute_bfs(edges, sources, max_hops):
+    from collections import deque
+
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    out = {}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for e, d in dist.items():
+            out[(s, e)] = d
+    return out
+
+
+def test_hop_distances_match_bfs_random_graph(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import hop_distances
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(40)})
+    named = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+    df = spark.createDataFrame(named, "subj string, obj string")
+    sources = ["n00", "n07", "n13"]
+    sdf = spark.createDataFrame([(s,) for s in sources], "entity string")
+    got = {
+        (r["source"], r["entity"]): r["dist"]
+        for r in hop_distances(df, sdf, max_hops=4).collect()
+    }
+    assert got == _brute_bfs(named, sources, 4)
+
+
+def test_hop_distances_truncates_at_max_hops(spark):
+    from gazetteer_entity_parser_spark.operators.graph import hop_distances
+
+    # path a-b-c-d-e: from a, max_hops=2 reaches only a,b,c
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    sdf = spark.createDataFrame([("a",)], "entity string")
+    got = {
+        (r["source"], r["entity"]): r["dist"]
+        for r in hop_distances(df, sdf, max_hops=2).collect()
+    }
+    assert got == {("a", "a"): 0, ("a", "b"): 1, ("a", "c"): 2}
+
+
+def test_hop_distances_source_absent_from_graph(spark):
+    from gazetteer_entity_parser_spark.operators.graph import hop_distances
+
+    df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    sdf = spark.createDataFrame([("zz",)], "entity string")
+    got = [tuple(r) for r in hop_distances(df, sdf, max_hops=3).collect()]
+    assert got == [("zz", "zz", 0)]
+
+
+def test_hop_distances_validates_args(spark):
+    from gazetteer_entity_parser_spark.operators.graph import hop_distances
+
+    df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    sdf = spark.createDataFrame([("a",)], "entity string")
+    with pytest.raises(ValueError, match="max_hops"):
+        hop_distances(df, sdf, max_hops=-1)
