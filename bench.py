@@ -96,6 +96,8 @@ def run_bench(sf_dir: str, cpus: int, queries: list[str] | None = None) -> dict:
             "media_features_full",
             "build_gazetteer_150k_distributed",  # round 4: DataFrame build
             # path above the collect cutoff (r3 verdict #8)
+            "kg_pagerank",  # round 5: 10-iteration fixed-point PageRank
+            "kg_triangles",  # round 5: degree-oriented wedge counting
         ]
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
