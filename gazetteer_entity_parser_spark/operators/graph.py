@@ -537,3 +537,62 @@ def hop_distances(
         ).localCheckpoint()
         settled = settled.unionByName(frontier).localCheckpoint()
     return settled.select("source", "entity", F.col("dist").cast("int").alias("dist"))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    landmark_col: str = "entity",
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality: for each entity v,
+    sum over landmarks L != v reachable within ``max_hops`` of
+    1 / dist(L, v). Landmark sampling is the standard scale approximation
+    for centrality (exact harmonic needs all-pairs distances); with
+    landmarks = all vertices it IS exact harmonic centrality truncated at
+    ``max_hops``.
+
+    Determinism trick (same philosophy as fixed-point PageRank): float
+    sums are reduction-order-dependent, so instead of summing 1/d doubles
+    the operator sums ``scale // d`` BIGINTs with scale = lcm(1..max_hops)
+    — every term is exact (lcm is divisible by every d), integer addition
+    is associative, and the final single division by the scale is one
+    correctly-rounded IEEE op. Bit-identical across partitionings and
+    engines.
+
+    Output: (entity, n_landmarks, harmonic) — n_landmarks counts the
+    reachable landmarks (self excluded); entities reachable from no
+    landmark (or only from themselves) are absent.
+    """
+    import math
+
+    scale = math.lcm(*range(1, max_hops + 1)) if max_hops >= 1 else 1
+    d = hop_distances(
+        edges,
+        landmarks,
+        max_hops=max_hops,
+        src_col=src_col,
+        dst_col=dst_col,
+        source_col=landmark_col,
+    )
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("entity")
+        .agg(
+            F.count("*").cast("bigint").alias("n_landmarks"),
+            # `div` (integer division) — `/` would be double division and
+            # reintroduce the order-dependent float sum this scale avoids
+            F.sum(F.expr(f"CAST({int(scale)} AS BIGINT) div dist"))
+            .cast("long")
+            .alias("_h_fp"),
+        )
+        .select(
+            "entity",
+            "n_landmarks",
+            F.round(F.col("_h_fp").cast("double") / F.lit(float(scale)), 6).alias(
+                "harmonic"
+            ),
+        )
+    )

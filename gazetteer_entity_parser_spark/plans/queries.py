@@ -337,6 +337,22 @@ def q_kg_hop_distances(spark, sf_dir):
     return hop_distances(trip, sources, max_hops=6)
 
 
+def q_kg_harmonic_centrality(spark, sf_dir):
+    """Landmark harmonic centrality (landmarks = the 'S' entities, 6
+    hops): sum of 1/dist, computed as exact lcm(1..6)=60 fixed-point
+    BIGINT sums so the result is order- and engine-independent."""
+    from ..operators.graph import harmonic_centrality
+
+    trip = _canonical_triples_persisted(spark, sf_dir)
+    landmarks = (
+        trip.select(F.col("subj").alias("entity"))
+        .unionByName(trip.select(F.col("obj").alias("entity")))
+        .distinct()
+        .where(F.col("entity").startswith("S"))
+    )
+    return harmonic_centrality(trip, landmarks, max_hops=6)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2026,6 +2042,20 @@ def _kg_graph_oracles() -> None:
     """
     )
 
+    # lcm(1..6) = 60: 60 // dist is exact for every dist in 1..6, so the
+    # sum is an associative BIGINT sum on both engines (see
+    # harmonic_centrality docstring)
+    ORACLES["kg_harmonic_centrality"] = (
+        head + ",\n        " + ",\n        ".join(hops_parts)
+        + """
+        SELECT entity,
+               CAST(count(*) AS BIGINT) AS n_landmarks,
+               round(CAST(sum(60 // dist) AS DOUBLE) / 60.0, 6) AS harmonic
+        FROM d6 WHERE dist > 0
+        GROUP BY 1
+    """
+    )
+
     ORACLES["kg_alias_resolution"] = f"""
         WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
         SELECT a.raw_value AS value_a, b.raw_value AS value_b,
@@ -2767,6 +2797,7 @@ QUERIES = {
     "kg_triangles": q_kg_triangles,
     "kg_related_entities": q_kg_related_entities,
     "kg_hop_distances": q_kg_hop_distances,
+    "kg_harmonic_centrality": q_kg_harmonic_centrality,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

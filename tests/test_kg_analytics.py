@@ -383,3 +383,49 @@ def test_hop_distances_validates_args(spark):
     sdf = spark.createDataFrame([("a",)], "entity string")
     with pytest.raises(ValueError, match="max_hops"):
         hop_distances(df, sdf, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (landmark fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_centrality_matches_bfs_reference(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import harmonic_centrality
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(45)})
+    named = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+    df = spark.createDataFrame(named, "subj string, obj string")
+    landmarks = ["n00", "n03", "n08", "n11"]
+    ldf = spark.createDataFrame([(s,) for s in landmarks], "entity string")
+    dist = _brute_bfs(named, landmarks, 4)
+    # lcm(1..4) = 12: the same fixed-point sum the operator uses
+    expect = {}
+    for (s, e), d in dist.items():
+        if d > 0:
+            n, h = expect.get(e, (0, 0))
+            expect[e] = (n + 1, h + 12 // d)
+    expect = {e: (n, round(h / 12.0, 6)) for e, (n, h) in expect.items()}
+    got = {
+        r["entity"]: (r["n_landmarks"], r["harmonic"])
+        for r in harmonic_centrality(df, ldf, max_hops=4).collect()
+    }
+    assert got == pytest.approx(expect)
+
+
+def test_harmonic_centrality_excludes_self_and_unreachable(spark):
+    from gazetteer_entity_parser_spark.operators.graph import harmonic_centrality
+
+    # two components: a-b, x-y; landmark a reaches only b (dist 1)
+    df = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "subj string, obj string"
+    )
+    ldf = spark.createDataFrame([("a",)], "entity string")
+    got = {
+        r["entity"]: (r["n_landmarks"], r["harmonic"])
+        for r in harmonic_centrality(df, ldf, max_hops=3).collect()
+    }
+    assert got == {"b": (1, 1.0)}  # a itself (dist 0) and x,y absent
