@@ -596,3 +596,67 @@ def harmonic_centrality(
             ),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iters: int = 50,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph in
+    which every vertex has degree >= k, computed by iterative peeling
+    (drop all vertices with degree < k, recompute degrees, repeat until
+    no vertex drops). KG curation: entities outside the 2-core hang off
+    the graph by a single thread (chains/leaves) and are the first
+    candidates for review; the k-core is also the standard preprocessing
+    step before dense-subgraph mining.
+
+    The peel order cannot change the result (the k-core is unique — the
+    fixpoint of a monotone operator), so the output is deterministic
+    regardless of partitioning. Each round is one degree aggregation
+    (|E|, entity-keyed, map-side combinable) and two semi-joins filtering
+    the edge list; rounds are localCheckpoint-truncated. Convergence is
+    at most |V| rounds in theory; in practice a handful (each round must
+    drop >= 1 vertex or stop). Exhausting ``max_iters`` RAISES rather
+    than returning a not-yet-converged overapproximation.
+
+    Output: (entity, degree) — vertices of the k-core with their degree
+    WITHIN the core (>= k by definition). Empty when no k-core exists.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("lo").alias("entity"))
+            .unionByName(e.select(F.col("hi").alias("entity")))
+            .groupBy("entity")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= int(k)).select("entity")
+        e2 = (
+            e.join(keep.withColumnRenamed("entity", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("entity", "hi"), "hi", "left_semi")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.where(F.col("degree") >= int(k)).select(
+                "entity", F.col("degree").cast("bigint").alias("degree")
+            )
+        # (an emptied edge set converges on the NEXT round's n2 == n_edges
+        # check, returning an empty frame with the input's entity type)
+        e, n_edges = e2, n2
+    raise RuntimeError(
+        f"k_core did not converge within max_iters={max_iters} peeling "
+        "rounds; raise max_iters"
+    )

@@ -353,6 +353,25 @@ def q_kg_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(trip, landmarks, max_hops=6)
 
 
+def q_kg_core(spark, sf_dir):
+    """2-core of the HIGH-WEIGHT subgraph (edges above 1.1x the mean
+    weight — the near-complete vocab graph needs thresholding before
+    peeling does anything): entities that survive iterative degree-<2
+    removal, with their in-core degree. The oracle unrolls ten peel
+    rounds; the Spark operator raises if unconverged, so both sides agree
+    on the fixpoint or fail loudly."""
+    from ..operators.graph import k_core
+
+    trip = _canonical_triples_persisted(spark, sf_dir)
+    avg = trip.agg(F.avg("weight").alias("_avg"))
+    strong = (
+        trip.crossJoin(F.broadcast(avg))
+        .where(F.col("weight") >= 1.1 * F.col("_avg"))
+        .select("subj", "obj")
+    )
+    return k_core(strong, k=2)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -1904,7 +1923,7 @@ def _kg_graph_oracles() -> None:
         f"r0 AS (SELECT entity, CAST({scale} AS BIGINT) AS r FROM nodes)",
     ]
     for i in range(1, n_iter + 1):
-        parts.append(f"""c{i} AS (
+        parts.append(f"""c{i} AS MATERIALIZED (
             SELECT t.obj AS entity,
                    CAST(sum(CAST(floor(r.r * {d_pct}.0 * t.weight
                                        / (100.0 * o.wout)) AS BIGINT))
@@ -1912,7 +1931,7 @@ def _kg_graph_oracles() -> None:
             FROM trip t JOIN r{i - 1} r ON r.entity = t.subj
                         JOIN outw o ON o.subj = t.subj
             GROUP BY 1)""")
-        parts.append(f"""r{i} AS (
+        parts.append(f"""r{i} AS MATERIALIZED (
             SELECT n.entity, CAST({base} + COALESCE(c.c, 0) AS BIGINT) AS r
             FROM nodes n LEFT JOIN c{i} c ON c.entity = n.entity)""")
     ORACLES["kg_pagerank"] = (
@@ -2013,22 +2032,22 @@ def _kg_graph_oracles() -> None:
     """
 
     hops_parts = [
-        """sym AS (
+        """sym AS MATERIALIZED (
             SELECT DISTINCT a, b FROM (
                 SELECT subj AS a, obj AS b FROM trip
                 UNION ALL SELECT obj AS a, subj AS b FROM trip
             ) WHERE a <> b
         )""",
-        """srcs AS (
+        """srcs AS MATERIALIZED (
             SELECT DISTINCT entity AS source FROM (
                 SELECT subj AS entity FROM trip
                 UNION ALL SELECT obj AS entity FROM trip
             ) WHERE entity LIKE 'S%'
         )""",
-        "d0 AS (SELECT source, source AS entity, 0 AS dist FROM srcs)",
+        "d0 AS MATERIALIZED (SELECT source, source AS entity, 0 AS dist FROM srcs)",
     ]
     for i in range(1, 7):
-        hops_parts.append(f"""d{i} AS (
+        hops_parts.append(f"""d{i} AS MATERIALIZED (
             SELECT source, entity, min(dist) AS dist FROM (
                 SELECT source, entity, dist FROM d{i - 1}
                 UNION ALL
@@ -2053,6 +2072,37 @@ def _kg_graph_oracles() -> None:
                round(CAST(sum(60 // dist) AS DOUBLE) / 60.0, 6) AS harmonic
         FROM d6 WHERE dist > 0
         GROUP BY 1
+    """
+    )
+
+    def _deg_sql(g: str) -> str:
+        return (
+            f"(SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM ("
+            f"SELECT lo AS entity FROM {g} UNION ALL SELECT hi FROM {g}"
+            f") GROUP BY 1)"
+        )
+
+    core_parts = [
+        """g0 AS MATERIALIZED (
+            SELECT DISTINCT least(subj, obj) AS lo, greatest(subj, obj) AS hi
+            FROM trip
+            WHERE subj <> obj
+              AND weight >= 1.1 * (SELECT avg(weight) FROM trip)
+        )"""
+    ]
+    for i in range(1, 11):
+        core_parts.append(
+            f"k{i} AS MATERIALIZED (SELECT entity FROM {_deg_sql(f'g{i - 1}')} d"
+            " WHERE degree >= 2)"
+        )
+        core_parts.append(f"""g{i} AS MATERIALIZED (
+            SELECT g.lo, g.hi FROM g{i - 1} g
+            JOIN k{i} a ON a.entity = g.lo
+            JOIN k{i} b ON b.entity = g.hi)""")
+    ORACLES["kg_core"] = (
+        head + ",\n        " + ",\n        ".join(core_parts)
+        + f"""
+        SELECT entity, degree FROM {_deg_sql("g10")} d WHERE degree >= 2
     """
     )
 
@@ -2798,6 +2848,7 @@ QUERIES = {
     "kg_related_entities": q_kg_related_entities,
     "kg_hop_distances": q_kg_hop_distances,
     "kg_harmonic_centrality": q_kg_harmonic_centrality,
+    "kg_core": q_kg_core,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

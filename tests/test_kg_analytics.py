@@ -429,3 +429,68 @@ def test_harmonic_centrality_excludes_self_and_unreachable(spark):
         for r in harmonic_centrality(df, ldf, max_hops=3).collect()
     }
     assert got == {"b": (1, 1.0)}  # a itself (dist 0) and x,y absent
+
+
+# ---------------------------------------------------------------------------
+# k-core (iterative peel)
+# ---------------------------------------------------------------------------
+
+
+def _brute_k_core(edges, k):
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for n in adj[v]:
+                adj[n].discard(v)
+            del adj[v]
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_k_core_matches_brute_force(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import k_core
+
+    rng = random.Random(43)
+    for k in (2, 3):
+        edges = list({(rng.randrange(22), rng.randrange(22)) for _ in range(55)})
+        named = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+        df = spark.createDataFrame(named, "subj string, obj string")
+        got = {r["entity"]: r["degree"] for r in k_core(df, k=k).collect()}
+        assert got == _brute_k_core(named, k), f"k={k}"
+
+
+def test_k_core_cascading_peel(spark):
+    """Removing a leaf drops its neighbor below k, cascading: a pendant
+    chain hanging off a triangle fully peels, the triangle survives."""
+    from gazetteer_entity_parser_spark.operators.graph import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "subj string, obj string")
+    got = {r["entity"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_empty_when_no_core(spark):
+    from gazetteer_entity_parser_spark.operators.graph import k_core
+
+    # a path has no 2-core
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "subj string, obj string")
+    out = k_core(df, k=2)
+    assert out.count() == 0
+    assert out.columns == ["entity", "degree"]
+
+
+def test_k_core_validates_k(spark):
+    from gazetteer_entity_parser_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([("a", "b")], "subj string, obj string")
+    with pytest.raises(ValueError, match="k must"):
+        k_core(df, k=0)
