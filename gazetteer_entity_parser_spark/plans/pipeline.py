@@ -177,3 +177,34 @@ def replay_buckets(
 def docs_from_sf_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return webpages_from_documents(docs)
+
+
+def materialize_graph_analytics(
+    triples: DataFrame, workdir: str, pagerank_iters: int = 10, topk: int = 10
+) -> dict:
+    """Graph-materialization stage (north_rule: "graph materialize"): from
+    the canonical triples, write the three serving-layer graph tables —
+    fixed-point PageRank, triangle/clustering stats, and top-k ranked
+    adjacency — as parquet under ``workdir/graph/``. The triples frame is
+    persisted here because all three analytics scan it (callers pass the
+    pipeline's already-materialized triples, so this persist caches a
+    parquet read, not a kernel re-extraction).
+
+    Returns {"paths": {name: path}, "rows": {name: count}}.
+    """
+    from ..operators.graph import pagerank, triangle_counts
+    from ..operators.triples import entity_neighbors_topk
+
+    trip = triples.persist()
+    outputs = {
+        "pagerank": pagerank(trip, n_iter=pagerank_iters),
+        "triangles": triangle_counts(trip),
+        "neighbors": entity_neighbors_topk(trip, k=topk),
+    }
+    paths, rows = {}, {}
+    for name, df in outputs.items():
+        path = os.path.join(workdir, "graph", name)
+        df.write.mode("overwrite").parquet(path)
+        paths[name] = path
+        rows[name] = df.sparkSession.read.parquet(path).count()
+    return {"paths": paths, "rows": rows}

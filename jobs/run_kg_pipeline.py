@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--alias-gazetteer", action="store_true")
     ap.add_argument("--replay-buckets", default=None, help="comma-separated bucket ids")
+    ap.add_argument(
+        "--graph-analytics",
+        action="store_true",
+        help="materialize pagerank/triangles/neighbors parquet under workdir/graph",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,6 +91,14 @@ def main() -> None:
         ),
         "stage_seconds": result["stage_seconds"],
     }
+    if args.graph_analytics and result["triples"] is not None:
+        from gazetteer_entity_parser_spark.plans.pipeline import (
+            materialize_graph_analytics,
+        )
+
+        summary["graph"] = materialize_graph_analytics(
+            result["triples"], args.workdir
+        )
     print(json.dumps(summary))
 
 

@@ -494,3 +494,31 @@ def test_k_core_validates_k(spark):
     df = spark.createDataFrame([("a", "b")], "subj string, obj string")
     with pytest.raises(ValueError, match="k must"):
         k_core(df, k=0)
+
+
+# ---------------------------------------------------------------------------
+# graph materialization stage (pipeline)
+# ---------------------------------------------------------------------------
+
+
+def test_materialize_graph_analytics_writes_three_tables(spark, tmp_path):
+    from gazetteer_entity_parser_spark.plans.pipeline import (
+        materialize_graph_analytics,
+    )
+
+    from pyspark.sql import functions as F
+
+    trip = _triples_df(spark).withColumn("pred", F.lit("co_occurs_with"))
+    out = materialize_graph_analytics(trip, str(tmp_path), pagerank_iters=3, topk=2)
+    assert set(out["paths"]) == {"pagerank", "triangles", "neighbors"}
+    assert out["rows"]["pagerank"] == 3  # a, b, c
+    assert out["rows"]["triangles"] == 3
+    assert out["rows"]["neighbors"] == 6  # 3 entities x top-2
+    pr = spark.read.parquet(out["paths"]["pagerank"])
+    assert set(pr.columns) == {"entity", "rank_fp", "score"}
+    # written table re-reads with the same fixed-point values
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    direct = {r["entity"]: r["rank_fp"] for r in pagerank(trip, n_iter=3).collect()}
+    stored = {r["entity"]: r["rank_fp"] for r in pr.collect()}
+    assert stored == direct
