@@ -120,6 +120,36 @@ def triples_with_salted_agg(raw_triples: DataFrame, salt_buckets: int = 16) -> D
     )
 
 
+
+
+def merge_canonical_triples(*parts: DataFrame) -> DataFrame:
+    """Distributive re-aggregation of canonical-triples PARTIALS: the
+    incremental-maintenance primitive. ``canonicalize_triples`` is a
+    (count, min, min) aggregation, i.e. a commutative monoid per
+    (subj, pred, obj) key — so triples built over any disjoint partition
+    of the corpus (per-day batches, per-bucket replays, a streaming
+    micro-batch against yesterday's table) merge into EXACTLY the frame a
+    from-scratch rebuild over the union would produce: sum the weights,
+    min the rank witnesses. The driver query pins this identity by
+    hash-comparing a two-way split-merge against the full-corpus oracle.
+
+    One shuffle on the triple key; partial aggregation applies map-side,
+    and each input part is already |distinct triples|-sized, so at
+    10^12 docs this merges per-batch rollups without ever touching the
+    corpus again.
+    """
+    if not parts:
+        raise ValueError("merge_canonical_triples needs at least one input")
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy("subj", "pred", "obj").agg(
+        F.sum("weight").alias("weight"),
+        F.min("subj_rank").alias("subj_rank"),
+        F.min("obj_rank").alias("obj_rank"),
+    )
+
+
 def edge_pmi(triples: DataFrame) -> DataFrame:
     """Pointwise mutual information per canonical edge: how much more often
     (subj, obj) co-occur than their marginals predict —
@@ -137,7 +167,11 @@ def edge_pmi(triples: DataFrame) -> DataFrame:
     feeds the two marginal aggregations, the total, and the join (4 scans
     of |E|; the marginals and total are |V|- and 1-sized broadcast
     dimensions, so the only |E|-sized exchanges are the two marginal
-    partial-aggs and the final joins are broadcasts).
+    partial-aggs and the final joins are broadcasts). NOTE: the plan
+    contains one BroadcastNestedLoopJoin — it is the crossJoin of the
+    1-ROW total aggregate (the in-plan-scalar idiom, same as tfidf's N);
+    its loop body executes exactly |E| x 1 times, it is not an all-pairs
+    node.
     """
     tot = triples.agg(F.sum("weight").cast("double").alias("_T"))
     ws = triples.groupBy("subj").agg(F.sum("weight").alias("_w_subj"))

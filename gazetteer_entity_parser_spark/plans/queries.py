@@ -215,6 +215,33 @@ def q_kg_triples_canonical(spark, sf_dir):
     )
 
 
+def q_kg_incremental_merge(spark, sf_dir):
+    """Incremental-maintenance identity: build canonical triples over TWO
+    disjoint url-hash halves of the corpus INDEPENDENTLY, then merge the
+    partials with :func:`merge_canonical_triples`. The oracle is the
+    full-corpus canonical-triples SQL — the hash check passes iff the
+    split-merge is bit-identical to a from-scratch rebuild, which is the
+    resumability/batch-append guarantee the north rule asks for. The
+    split key (crc32 parity of url) is arbitrary by construction: the
+    identity holds for ANY disjoint partition."""
+    from ..operators.triples import merge_canonical_triples
+
+    mentions = _mentions(spark, sf_dir, "vocab").persist()
+    half = F.pmod(F.crc32(F.col("url")), F.lit(2))
+    parts = [
+        canonicalize_triples(
+            cooccurrence_triples_grouped(mentions.where(half == i))
+        )
+        for i in (0, 1)
+    ]
+    return merge_canonical_triples(*parts).select(
+        "subj", "pred", "obj",
+        F.col("weight").cast("bigint").alias("weight"),
+        F.col("subj_rank").cast("bigint").alias("subj_rank"),
+        F.col("obj_rank").cast("bigint").alias("obj_rank"),
+    )
+
+
 def q_kg_entity_degree(spark, sf_dir):
     """Graph materialization probe (north_rule Stage D+): per-canonical-entity
     degree view over the triples table — out/in/total co-occurrence degree
@@ -370,6 +397,47 @@ def q_kg_core(spark, sf_dir):
         .select("subj", "obj")
     )
     return k_core(strong, k=2)
+
+
+def q_kg_entity_profile(spark, sf_dir):
+    """Serving-layer entity profile: ONE row per entity joining PageRank
+    score, degree/triangles/clustering, and the strongest neighbor — the
+    wide table a KG-backed application reads. All three inputs derive
+    from one persisted triples frame; the joins are entity-keyed on
+    |V|-sized aggregates (broadcast at any realistic dimension). LEFT
+    join + coalesce for the triangle stats because a vertex whose only
+    edges are self-loops ranks in PageRank but has no simple-graph
+    degree."""
+    from ..operators.graph import pagerank, triangle_counts
+    from ..operators.triples import entity_neighbors_topk
+
+    trip = _canonical_triples_persisted(spark, sf_dir)
+    pr = pagerank(trip, n_iter=10)
+    tri = triangle_counts(trip)
+    top = (
+        entity_neighbors_topk(trip, k=1)
+        .where(F.col("rk") == 1)
+        .select(
+            "entity",
+            F.col("neighbor").alias("top_neighbor"),
+            F.col("weight").alias("top_weight"),
+        )
+    )
+    return (
+        pr.join(tri, "entity", "left")
+        .join(top, "entity", "left")
+        .select(
+            "entity",
+            "score",
+            F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("triangles"),
+            F.coalesce(F.col("clustering"), F.lit(0.0)).alias("clustering"),
+            "top_neighbor",
+            "top_weight",
+        )
+    )
 
 
 def q_kg_mentions_alias_kernel(spark, sf_dir):
@@ -2122,6 +2190,28 @@ def _kg_graph_oracles() -> None:
 
 _kg_graph_oracles()
 
+# the incremental split-merge must equal the from-scratch rebuild, so its
+# oracle IS the full-corpus canonical-triples SQL (identity = the check)
+ORACLES["kg_incremental_merge"] = ORACLES["kg_triples_canonical"]
+
+# serving-layer profile: nest the three family oracles verbatim as scoped
+# CTEs (DuckDB allows WITH inside a CTE body; inner names don't collide)
+ORACLES["kg_entity_profile"] = f"""
+WITH pr AS MATERIALIZED ({ORACLES["kg_pagerank"]}),
+     tc AS MATERIALIZED ({ORACLES["kg_triangles"]}),
+     nb AS MATERIALIZED ({ORACLES["kg_entity_neighbors"]})
+SELECT pr.entity, pr.score,
+       CAST(COALESCE(tc.degree, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+       COALESCE(tc.clustering, 0.0) AS clustering,
+       top1.neighbor AS top_neighbor,
+       top1.weight AS top_weight
+FROM pr
+LEFT JOIN tc ON tc.entity = pr.entity
+LEFT JOIN (SELECT entity, neighbor, weight FROM nb WHERE rk = 1) top1
+       ON top1.entity = pr.entity
+"""
+
 
 def _shingle_sql(name: str, src: str, n: int) -> str:
     """CTE text: distinct n-token shingles of ``src`` (doc_id, text) —
@@ -2849,6 +2939,8 @@ QUERIES = {
     "kg_hop_distances": q_kg_hop_distances,
     "kg_harmonic_centrality": q_kg_harmonic_centrality,
     "kg_core": q_kg_core,
+    "kg_incremental_merge": q_kg_incremental_merge,
+    "kg_entity_profile": q_kg_entity_profile,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

@@ -70,3 +70,43 @@ def test_salted_agg_equals_plain(spark, mentions):
     a = sorted(map(tuple, canonicalize_triples(raw).collect()))
     b = sorted(map(tuple, triples_with_salted_agg(raw, salt_buckets=8).collect()))
     assert a == b
+
+
+def test_merge_canonical_triples_equals_full_rebuild(spark, mentions):
+    """Distributivity: split-build-merge == from-scratch rebuild, for an
+    arbitrary disjoint split (url crc32 parity AND a 3-way token split)."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.triples import (
+        canonicalize_triples,
+        cooccurrence_triples_grouped,
+        merge_canonical_triples,
+    )
+
+    full = {
+        tuple(r)
+        for r in canonicalize_triples(
+            cooccurrence_triples_grouped(mentions)
+        ).collect()
+    }
+    for n_parts in (2, 3):
+        key = F.pmod(F.crc32(F.col("url")), F.lit(n_parts))
+        parts = [
+            canonicalize_triples(
+                cooccurrence_triples_grouped(mentions.where(key == i))
+            )
+            for i in range(n_parts)
+        ]
+        merged = {tuple(r) for r in merge_canonical_triples(*parts).collect()}
+        assert merged == full, n_parts
+
+
+def test_merge_canonical_triples_requires_input():
+    import pytest
+
+    from gazetteer_entity_parser_spark.operators.triples import (
+        merge_canonical_triples,
+    )
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_canonical_triples()
