@@ -244,7 +244,19 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
-        F.col(weight_col).cast("long").alias("_w"),
+        # loud in-plan guard (no extra job): a non-positive weight would
+        # make wout <= 0 and the floor() contribution NaN -> NULL -> the
+        # sum silently drops it; fail at runtime instead
+        F.when(F.col(weight_col) > 0, F.col(weight_col).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pagerank: non-positive edge weight "),
+                    F.col(weight_col).cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("_w"),
     )
     nodes = (
         e.select(F.col("_src").alias("entity"))
@@ -442,10 +454,13 @@ def related_entities_jaccard(
             raise ValueError(
                 f"max_neighbor_degree must be >= 1, got {max_neighbor_degree}"
             )
-        keep = deg.where(F.col("d") <= int(max_neighbor_degree)).select(
+        # anti-join the HUB list (small by definition — hubs are the tail
+        # above the cap), not a semi-join against the ~|V|-sized keep set:
+        # broadcasting the keep list would ship the whole vertex dimension
+        hubs = deg.where(F.col("d") > int(max_neighbor_degree)).select(
             F.col("e").alias("n")
         )
-        pivots = adj.join(F.broadcast(keep), "n")
+        pivots = adj.join(F.broadcast(hubs), "n", "left_anti")
     a = pivots.select(F.col("n").alias("_pivot"), F.col("e").alias("entity_a"))
     b = pivots.select(F.col("n").alias("_pivot"), F.col("e").alias("entity_b"))
     common = (

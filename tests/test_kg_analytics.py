@@ -522,3 +522,13 @@ def test_materialize_graph_analytics_writes_three_tables(spark, tmp_path):
     direct = {r["entity"]: r["rank_fp"] for r in pagerank(trip, n_iter=3).collect()}
     stored = {r["entity"]: r["rank_fp"] for r in pr.collect()}
     assert stored == direct
+
+
+def test_pagerank_raises_on_nonpositive_weight(spark):
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 0)], "subj string, obj string, weight bigint"
+    )
+    with pytest.raises(Exception, match="non-positive edge weight"):
+        pagerank(df, n_iter=1).collect()
