@@ -351,3 +351,46 @@ def length_profile(
         F.min(value_col).alias(f"min_{suffix}"),
         F.max(value_col).alias(f"max_{suffix}"),
     )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    approximate: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group vocabulary statistics: token count and distinct-token
+    count over whitespace tokenization (empty tokens dropped — same
+    contract as token_shingles/tfidf).
+
+    Two physical modes, the ``length_profile`` pattern:
+
+    - ``approximate=False`` (default, the oracle-checked path): exact
+      ``count_distinct``. Cost at scale: per-group state is O(vocabulary)
+      — the aggregate ships every distinct token to the reducer; fine for
+      bounded vocabularies, the wrong shape for 10^9-type web vocab.
+    - ``approximate=True`` (the 100 TB path): ``approx_count_distinct`` —
+      HyperLogLog++, O(1/rsd^2) registers per group, MERGEABLE (map-side
+      partial aggregation, plan-asserted in tests), relative standard
+      deviation ``rsd``. Error is pinned in pytest against a multiple of
+      the rsd guarantee on a 50k-cardinality synthetic corpus (small
+      cardinalities are near-exact via the sparse representation, so the
+      shipped 31-word test vocab would not exercise estimation). NOT
+      bit-portable across engines — exact mode stays the oracle row.
+
+    One scan, one explode, one group aggregation either way.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = (
+        F.approx_count_distinct("tok", float(rsd))
+        if approximate
+        else F.count_distinct("tok")
+    )
+    return toks.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        vocab.cast("bigint").alias("vocab"),
+    )

@@ -440,6 +440,15 @@ def q_kg_entity_profile(spark, sf_dir):
     )
 
 
+def q_corpus_vocab_stats(spark, sf_dir):
+    """Per-source token + distinct-token counts (exact mode — the oracle
+    row; the HLL++ approximate mode is the 100 TB path, error-pinned in
+    pytest)."""
+    from ..operators.text_analysis import vocab_stats
+
+    return vocab_stats(_docs(spark, sf_dir))
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2194,6 +2203,19 @@ _kg_graph_oracles()
 # oracle IS the full-corpus canonical-triples SQL (identity = the check)
 ORACLES["kg_incremental_merge"] = ORACLES["kg_triples_canonical"]
 
+ORACLES["corpus_vocab_stats"] = r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+    FROM (
+        SELECT source,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY 1
+"""
+
 # serving-layer profile: nest the three family oracles verbatim as scoped
 # CTEs (DuckDB allows WITH inside a CTE body; inner names don't collide)
 ORACLES["kg_entity_profile"] = f"""
@@ -2941,6 +2963,7 @@ QUERIES = {
     "kg_core": q_kg_core,
     "kg_incremental_merge": q_kg_incremental_merge,
     "kg_entity_profile": q_kg_entity_profile,
+    "corpus_vocab_stats": q_corpus_vocab_stats,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

@@ -278,3 +278,63 @@ def test_length_profile_approx_is_mergeable_partial_agg(spark):
         .toString()
     )
     assert "partial_percentile_approx" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# vocab_stats (exact vs HLL++ approximate)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_stats_exact_matches_python(spark):
+    from gazetteer_entity_parser_spark.operators.text_analysis import vocab_stats
+
+    rows = [
+        ("s1", "a b  c a"),   # whitespace run -> empty token dropped
+        ("s1", "b d"),
+        ("s2", "x x x"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab"])
+        for r in vocab_stats(df).collect()
+    }
+    assert got == {"s1": (6, 4), "s2": (3, 1)}
+
+
+def test_vocab_stats_approx_within_error_and_mergeable(spark):
+    """HLL++ relative error pinned against a multiple of the rsd
+    guarantee on a 50k-cardinality synthetic corpus (the shipped 31-word
+    vocab is near-exact via sparse mode and would not exercise
+    estimation); the plan must show partial (map-side) aggregation —
+    the mergeability that makes this the 100 TB shape."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_entity_parser_spark.operators.text_analysis import vocab_stats
+
+    n = 50_000
+    docs = (
+        spark.range(n)
+        .select(
+            F.lit("big").alias("source"),
+            F.concat(F.lit("tok"), F.col("id").cast("string")).alias("text"),
+        )
+    )
+    rsd = 0.05
+    out = vocab_stats(docs, approximate=True, rsd=rsd)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan
+    got = out.collect()[0]
+    assert got["n_tokens"] == n
+    rel_err = abs(got["vocab"] - n) / n
+    assert rel_err < 4 * rsd, rel_err
+
+
+def test_vocab_stats_approx_near_exact_on_small_vocab(spark):
+    from gazetteer_entity_parser_spark.operators.text_analysis import vocab_stats
+
+    rows = [("s", "a b c d e f g h")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    exact = vocab_stats(df).collect()[0]
+    approx = vocab_stats(df, approximate=True).collect()[0]
+    assert (exact["n_tokens"], exact["vocab"]) == (8, 8)
+    assert approx["vocab"] == 8  # sparse-mode HLL is exact at tiny cardinality
