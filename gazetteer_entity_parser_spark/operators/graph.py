@@ -675,3 +675,76 @@ def k_core(
         f"k_core did not converge within max_iters={max_iters} peeling "
         "rounds; raise max_iters"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted label-propagation community detection, run for EXACTLY
+    ``n_iter`` synchronous rounds with a deterministic tiebreak — labels
+    start as the vertex id; each round every vertex adopts the label
+    carrying the largest total incident edge weight among its neighbors
+    (ties: smallest label). Communities differ from connected components:
+    a barbell of two dense cliques joined by one weak bridge is ONE
+    component but TWO communities.
+
+    Fixed-round-count semantics (like the PageRank contract, not a
+    fixpoint): synchronous LPA can oscillate on bipartite-ish structures,
+    so "run until stable" is not well-defined — a fixed deterministic
+    round count is reproducible, oracle-checkable (the DuckDB oracle
+    unrolls the same rounds), and what you'd schedule at 10^12 docs
+    anyway. Production graphs wanting stability run semi-synchronous
+    (graph-colored) LPA; the per-round plan below is identical, only the
+    update schedule changes.
+
+    Per round: one |E|-keyed join (labels onto neighbors), one
+    (vertex, label) aggregation, one vertex-keyed window for the argmax —
+    all shuffles keyed by vertex/label, map-side combinable; rounds are
+    localCheckpoint-truncated. Integer weight sums -> the argmax inputs
+    are order-independent, so the result is partition-deterministic.
+
+    Output: (entity, community).
+    """
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    sym = (
+        edges.select(
+            F.col(src_col).alias("a"),
+            F.col(dst_col).alias("b"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"),
+                F.col(src_col).alias("b"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("entity")).distinct().withColumn(
+        "label", F.col("entity")
+    )
+    win = Window.partitionBy("entity").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels.withColumnRenamed("entity", "b"), "b")
+            .groupBy(F.col("a").alias("entity"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("_rk", F.row_number().over(win))
+            .where(F.col("_rk") == 1)
+            .select("entity", "label")
+            .localCheckpoint()
+        )
+    return labels.select("entity", F.col("label").alias("community"))

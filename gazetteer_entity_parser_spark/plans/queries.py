@@ -449,6 +449,15 @@ def q_corpus_vocab_stats(spark, sf_dir):
     return vocab_stats(_docs(spark, sf_dir))
 
 
+def q_kg_communities(spark, sf_dir):
+    """Weighted label-propagation communities, exactly 5 deterministic
+    synchronous rounds (argmax incident weight, min-label tiebreak); the
+    oracle unrolls the same rounds."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_canonical_triples_persisted(spark, sf_dir), n_iter=5)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2183,6 +2192,35 @@ def _kg_graph_oracles() -> None:
     """
     )
 
+    lpa_parts = [
+        """symw AS MATERIALIZED (
+            SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+                SELECT subj AS a, obj AS b, weight AS w FROM trip
+                UNION ALL SELECT obj AS a, subj AS b, weight AS w FROM trip
+            ) WHERE a <> b GROUP BY 1, 2
+        )""",
+        """lp0 AS MATERIALIZED (
+            SELECT DISTINCT a AS entity, a AS label FROM symw
+        )""",
+    ]
+    for i in range(1, 6):
+        lpa_parts.append(f"""lp{i} AS MATERIALIZED (
+            SELECT entity, label FROM (
+                SELECT s.a AS entity, l.label,
+                       row_number() OVER (
+                           PARTITION BY s.a
+                           ORDER BY sum(s.w) DESC, l.label ASC
+                       ) AS rk
+                FROM symw s JOIN lp{i - 1} l ON l.entity = s.b
+                GROUP BY s.a, l.label
+            ) WHERE rk = 1)""")
+    ORACLES["kg_communities"] = (
+        head + ",\n        " + ",\n        ".join(lpa_parts)
+        + """
+        SELECT entity, label AS community FROM lp5
+    """
+    )
+
     ORACLES["kg_alias_resolution"] = f"""
         WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
         SELECT a.raw_value AS value_a, b.raw_value AS value_b,
@@ -2964,6 +3002,7 @@ QUERIES = {
     "kg_incremental_merge": q_kg_incremental_merge,
     "kg_entity_profile": q_kg_entity_profile,
     "corpus_vocab_stats": q_corpus_vocab_stats,
+    "kg_communities": q_kg_communities,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

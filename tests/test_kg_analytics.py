@@ -532,3 +532,90 @@ def test_pagerank_raises_on_nonpositive_weight(spark):
     )
     with pytest.raises(Exception, match="non-positive edge weight"):
         pagerank(df, n_iter=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _brute_lpa(edges, n_iter):
+    """Independent replay: synchronous weighted LPA, min-label ties."""
+    sym = {}
+    for u, v, w in edges:
+        if u != v:
+            sym[(u, v)] = sym.get((u, v), 0) + w
+            sym[(v, u)] = sym.get((v, u), 0) + w
+    nodes = sorted({a for a, _ in sym})
+    lab = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            votes = {}
+            for (a, b), w in sym.items():
+                if a == v:
+                    votes[lab[b]] = votes.get(lab[b], 0) + w
+            new[v] = min(votes, key=lambda l: (-votes[l], l))
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_reference(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import label_propagation
+
+    rng = random.Random(59)
+    edges = list(
+        {
+            (rng.randrange(16), rng.randrange(16), rng.randrange(1, 6))
+            for _ in range(40)
+        }
+    )
+    named = [(f"n{u:02d}", f"n{v:02d}", w) for u, v, w in edges]
+    df = spark.createDataFrame(named, "subj string, obj string, weight bigint")
+    for rounds in (1, 3, 5):
+        got = {
+            r["entity"]: r["community"]
+            for r in label_propagation(df, n_iter=rounds).collect()
+        }
+        assert got == _brute_lpa(named, rounds), rounds
+
+
+def test_label_propagation_splits_barbell_communities(spark):
+    """Two dense triangles joined by ONE weak bridge: one connected
+    component, two LPA communities — the semantic difference vs CC."""
+    from gazetteer_entity_parser_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    heavy = [
+        ("a1", "a2", 9), ("a2", "a3", 9), ("a1", "a3", 9),
+        ("b1", "b2", 9), ("b2", "b3", 9), ("b1", "b3", 9),
+        ("a3", "b1", 1),  # weak bridge
+    ]
+    df = spark.createDataFrame(heavy, "subj string, obj string, weight bigint")
+    comms = {
+        r["entity"]: r["community"]
+        for r in label_propagation(df, n_iter=5).collect()
+    }
+    assert len(set(comms.values())) >= 2
+    assert comms["a1"] == comms["a2"] == comms["a3"]
+    assert comms["b2"] == comms["b3"]
+    assert comms["a1"] != comms["b2"]
+    cc = {
+        r["entity"]: r["component"]
+        for r in connected_components(
+            df.select("subj", "obj"), src="subj", dst="obj"
+        ).collect()
+    }
+    assert len(set(cc.values())) == 1  # ...but it IS one component
+
+
+def test_label_propagation_validates_args(spark):
+    from gazetteer_entity_parser_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "b", 1)], "subj string, obj string, weight bigint")
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=0)
