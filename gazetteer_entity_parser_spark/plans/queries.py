@@ -279,15 +279,32 @@ def q_kg_entity_degree(spark, sf_dir):
     )
 
 
+_TRIPLES_CACHE: dict = {}
+
+
 def _canonical_triples_persisted(spark, sf_dir):
     """Shared input for the graph-analytics queries: canonical triples,
     persisted because every consumer scans the frame more than once
     (pagerank: per-iteration join; pmi: marginals + total + join;
     neighbors: both union roles) — without the boundary each scan re-runs
-    the kernel extraction (the kg_entity_degree lesson, r4 verdict #1)."""
-    return canonicalize_triples(
+    the kernel extraction (the kg_entity_degree lesson, r4 verdict #1).
+
+    Cached per (applicationId, sf_dir), the `_parser_cache` pattern: a
+    driver session that runs all the graph queries back-to-back pays the
+    kernel extraction ONCE instead of once per query, and avoids stacking
+    a dozen persisted copies of the same frame. Dead-application entries
+    are evicted (their cached plans are garbage)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    trip = _TRIPLES_CACHE.get(key)
+    if trip is not None:
+        return trip
+    trip = canonicalize_triples(
         cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
     ).persist()
+    for k in [k for k in _TRIPLES_CACHE if k[0] != key[0]]:
+        del _TRIPLES_CACHE[k]
+    _TRIPLES_CACHE[key] = trip
+    return trip
 
 
 def q_kg_pagerank(spark, sf_dir):

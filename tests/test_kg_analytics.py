@@ -619,3 +619,17 @@ def test_label_propagation_validates_args(spark):
     df = spark.createDataFrame([("a", "b", 1)], "subj string, obj string, weight bigint")
     with pytest.raises(ValueError, match="n_iter"):
         label_propagation(df, n_iter=0)
+
+
+def test_canonical_triples_cached_per_application(spark):
+    """The graph-family input is built once per (app, sf_dir): repeated
+    calls return the SAME persisted frame (no re-extraction, no cache
+    stacking)."""
+    from gazetteer_entity_parser_spark.plans.queries import (
+        _canonical_triples_persisted,
+    )
+
+    a = _canonical_triples_persisted(spark, "/root/testdata/sf0.001")
+    b = _canonical_triples_persisted(spark, "/root/testdata/sf0.001")
+    assert a is b
+    assert a.count() == b.count()
