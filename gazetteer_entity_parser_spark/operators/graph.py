@@ -205,6 +205,7 @@ def pagerank(
     dst_col: str = "obj",
     weight_col: str = "weight",
     checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, in FIXED-POINT integer
     arithmetic so the result is bit-portable across engines and partition
@@ -226,9 +227,15 @@ def pagerank(
     exactness needs r(u)*d_pct*w < 2^53 — holds to ~10^9-node graphs at
     default scale; lower ``scale`` for larger graphs.
 
-    Dangling mass (nodes with no out-edges) is NOT redistributed — their
-    rank re-seeds to the base each round (documented simplification; the
-    classic correction adds a driver-side scalar per iteration).
+    Dangling mass (nodes with no out-edges): by default NOT redistributed
+    — their rank re-seeds to the base each round (the cheap contract).
+    ``redistribute_dangling=True`` applies the classic correction, kept
+    IN-PLAN (no per-iteration driver collect): each round a 1-row
+    aggregate D = sum of dangling ranks is broadcast-cross-joined and
+    every node additionally receives ``(D * d_pct) div (100 * N)`` —
+    pure BIGINT arithmetic (exactness needs D * d_pct < 2^63; D <=
+    N * scale * ~(1 + n_iter), far inside the bound at default scale
+    until ~10^10 nodes). N is counted once up front (one tiny job).
 
     Scale shape: edges+outw persist once (|E|); each iteration is one
     src-keyed join |E| |x| |V| and one dst-keyed partial/final aggregation
@@ -268,6 +275,8 @@ def pagerank(
     ej = e.join(outw, "_src").persist()
     base = int(scale) * (100 - int(d_pct)) // 100
     ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
+    n_nodes = nodes.count() if redistribute_dangling else 0
+    src_set = outw.select(F.col("_src").alias("entity"))
     for i in range(n_iter):
         contribs = ej.join(
             ranks.withColumnRenamed("entity", "_src"), "_src"
@@ -283,13 +292,30 @@ def pagerank(
             .alias("c"),
         )
         summed = contribs.groupBy("entity").agg(F.sum("c").alias("c"))
-        ranks = nodes.join(summed, "entity", "left").select(
+        rank_base = nodes.join(summed, "entity", "left")
+        if redistribute_dangling:
+            # 1-row dangling-mass aggregate, broadcast-cross-joined so
+            # EVERY node (with or without edge contributions) receives the
+            # integer share — no per-iteration driver collect
+            dang = ranks.join(src_set, "entity", "left_anti").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_D")
+            )
+            share = F.expr(f"(_D * {int(d_pct)}) div {100 * int(n_nodes)}")
+            rank_base = rank_base.crossJoin(F.broadcast(dang))
+        else:
+            share = F.lit(0).cast("long")
+        ranks = rank_base.select(
             "entity",
-            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)) + share)
             .cast("long")
             .alias("r"),
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+        # with redistribution, EVERY round references ranks twice (the
+        # contributions join AND the dangling aggregate), so un-truncated
+        # lineage doubles per round (2^k replay; measured 10x wall at 10
+        # iterations) — checkpoint every round in that mode
+        every = 1 if redistribute_dangling else checkpoint_every
+        if (i + 1) % every == 0 and (i + 1) < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks.select(
         "entity",
@@ -748,3 +774,37 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("entity", F.col("label").alias("community"))
+
+
+def graph_summary(
+    edges: DataFrame, src_col: str = "subj", dst_col: str = "obj"
+) -> DataFrame:
+    """One-row global summary of the undirected simple graph: vertex and
+    edge counts, degree stats, triangle count, and global transitivity
+    (3 x triangles / wedges — the probability a random wedge closes).
+    The KG health dashboard row.
+
+    Derived entirely from :func:`triangle_counts` (per-entity degrees and
+    triangle credits), so it inherits the degree-oriented wedge bound;
+    the final step is a single global aggregation of a |V|-sized frame.
+    All inputs to the transitivity division are exact BIGINT sums, the
+    division is one correctly-rounded IEEE op — engine-portable.
+    """
+    tc = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
+    wedges = F.sum(
+        (F.col("degree") * (F.col("degree") - F.lit(1)) / F.lit(2)).cast("long")
+    )
+    return tc.agg(
+        F.count("*").cast("bigint").alias("n_vertices"),
+        (F.sum("degree") / 2).cast("bigint").alias("n_edges"),
+        (F.sum("triangles") / 3).cast("bigint").alias("n_triangles"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.round(
+            F.when(
+                wedges > 0,
+                F.sum("triangles").cast("double") / wedges.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )

@@ -475,6 +475,33 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(_canonical_triples_persisted(spark, sf_dir), n_iter=5)
 
 
+def q_kg_graph_summary(spark, sf_dir):
+    """One-row global graph health summary (vertices, edges, triangles,
+    degree stats, transitivity) aggregated from the per-entity triangle
+    frame."""
+    from ..operators.graph import graph_summary
+
+    return graph_summary(_canonical_triples_persisted(spark, sf_dir))
+
+
+def q_kg_pagerank_dangling(spark, sf_dir):
+    """PageRank WITH classic dangling-mass redistribution, over the
+    above-1.2x-mean-weight DIRECTED subgraph (thresholding strands real
+    dangling nodes — entities that receive strong edges but emit none);
+    the oracle unrolls the same recurrence including the per-iteration
+    1-row dangling aggregate and integer share."""
+    from ..operators.graph import pagerank
+
+    trip = _canonical_triples_persisted(spark, sf_dir)
+    avg = trip.agg(F.avg("weight").alias("_avg"))
+    strong = (
+        trip.crossJoin(F.broadcast(avg))
+        .where(F.col("weight") >= 1.2 * F.col("_avg"))
+        .select("subj", "obj", "weight")
+    )
+    return pagerank(strong, n_iter=10, redistribute_dangling=True)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2238,6 +2265,51 @@ def _kg_graph_oracles() -> None:
     """
     )
 
+    pd_parts = [
+        """strongd AS MATERIALIZED (
+            SELECT subj, obj, weight FROM trip
+            WHERE weight >= 1.2 * (SELECT avg(weight) FROM trip)
+        )""",
+        """nd AS MATERIALIZED (
+            SELECT subj AS entity FROM strongd
+            UNION SELECT obj FROM strongd
+        )""",
+        """outd AS MATERIALIZED (
+            SELECT subj, CAST(sum(weight) AS BIGINT) AS wout
+            FROM strongd GROUP BY 1
+        )""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nd)",
+        f"rd0 AS MATERIALIZED (SELECT entity, CAST({scale} AS BIGINT) AS r"
+        " FROM nd)",
+    ]
+    for i in range(1, n_iter + 1):
+        pd_parts.append(f"""dg{i} AS MATERIALIZED (
+            SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS D
+            FROM rd{i - 1} r LEFT JOIN outd o ON o.subj = r.entity
+            WHERE o.subj IS NULL)""")
+        pd_parts.append(f"""cd{i} AS MATERIALIZED (
+            SELECT t.obj AS entity,
+                   CAST(sum(CAST(floor(r.r * {d_pct}.0 * t.weight
+                                       / (100.0 * o.wout)) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM strongd t JOIN rd{i - 1} r ON r.entity = t.subj
+                           JOIN outd o ON o.subj = t.subj
+            GROUP BY 1)""")
+        pd_parts.append(f"""rd{i} AS MATERIALIZED (
+            SELECT n.entity,
+                   CAST({base} + COALESCE(c.c, 0)
+                        + (dg.D * {d_pct}) // (100 * nn.n) AS BIGINT) AS r
+            FROM nd n
+            LEFT JOIN cd{i} c ON c.entity = n.entity
+            CROSS JOIN dg{i} dg CROSS JOIN nn)""")
+    ORACLES["kg_pagerank_dangling"] = (
+        head + ",\n        " + ",\n        ".join(pd_parts)
+        + f"""
+        SELECT entity, r AS rank_fp, round(r / {scale}.0, 6) AS score
+        FROM rd{n_iter}
+    """
+    )
+
     ORACLES["kg_alias_resolution"] = f"""
         WITH {_VOCAB_CTE[1:]}, {_ALIAS_CTE[1:]}
         SELECT a.raw_value AS value_a, b.raw_value AS value_b,
@@ -2257,6 +2329,22 @@ _kg_graph_oracles()
 # the incremental split-merge must equal the from-scratch rebuild, so its
 # oracle IS the full-corpus canonical-triples SQL (identity = the check)
 ORACLES["kg_incremental_merge"] = ORACLES["kg_triples_canonical"]
+
+# global summary nests the per-entity triangle oracle
+ORACLES["kg_graph_summary"] = f"""
+WITH tc AS MATERIALIZED ({ORACLES["kg_triangles"]})
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+       CAST(sum(triangles) / 3 AS BIGINT) AS n_triangles,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       round(avg(degree), 6) AS avg_degree,
+       round(CASE WHEN sum(CAST(degree * (degree - 1) / 2 AS BIGINT)) > 0
+                  THEN CAST(sum(triangles) AS DOUBLE)
+                       / CAST(sum(CAST(degree * (degree - 1) / 2 AS BIGINT))
+                              AS DOUBLE)
+                  ELSE 0.0 END, 6) AS transitivity
+FROM tc
+"""
 
 ORACLES["corpus_vocab_stats"] = r"""
     SELECT source,
@@ -3020,6 +3108,8 @@ QUERIES = {
     "kg_entity_profile": q_kg_entity_profile,
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "kg_communities": q_kg_communities,
+    "kg_graph_summary": q_kg_graph_summary,
+    "kg_pagerank_dangling": q_kg_pagerank_dangling,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

@@ -284,3 +284,55 @@ def test_pagerank_validates_args(spark):
         pagerank(df, d_pct=100)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+def _pagerank_reference_dangling(edges, n_iter=10, d_pct=85, scale=1_000_000):
+    """Reference WITH classic dangling-mass redistribution."""
+    import math
+    from collections import defaultdict
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    wout = defaultdict(int)
+    for u, _, w in edges:
+        wout[u] += w
+    base = scale * (100 - d_pct) // 100
+    r = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        c = defaultdict(int)
+        for u, v, w in edges:
+            c[v] += math.floor(r[u] * float(d_pct) * float(w) / (100.0 * wout[u]))
+        D = sum(r[n] for n in nodes if n not in wout)
+        share = (D * d_pct) // (100 * len(nodes))
+        r = {n: base + c.get(n, 0) + share for n in nodes}
+    return r
+
+
+def test_pagerank_dangling_redistribution_matches_reference(spark):
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 3), ("b", "c", 2), ("c", "a", 5),
+        ("b", "e", 1), ("a", "z", 2),  # e and z are dangling
+    ]
+    df = spark.createDataFrame(edges, "subj string, obj string, weight bigint")
+    got = {
+        r["entity"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=7, redistribute_dangling=True).collect()
+    }
+    assert got == _pagerank_reference_dangling(edges, n_iter=7)
+    # the dangling share must actually be non-zero on this graph
+    plain = {r["entity"]: r["rank_fp"] for r in pagerank(df, n_iter=7).collect()}
+    assert got != plain
+
+
+def test_pagerank_dangling_noop_when_no_dangling_nodes(spark):
+    from gazetteer_entity_parser_spark.operators.graph import pagerank
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(edges, "subj string, obj string, weight bigint")
+    a = {tuple(r) for r in pagerank(df, n_iter=5).collect()}
+    b = {
+        tuple(r)
+        for r in pagerank(df, n_iter=5, redistribute_dangling=True).collect()
+    }
+    assert a == b

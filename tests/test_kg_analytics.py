@@ -633,3 +633,38 @@ def test_canonical_triples_cached_per_application(spark):
     b = _canonical_triples_persisted(spark, "/root/testdata/sf0.001")
     assert a is b
     assert a.count() == b.count()
+
+
+def test_graph_summary_matches_brute_force(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.graph import graph_summary
+
+    rng = random.Random(67)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(35)})
+    named = [(f"n{u:02d}", f"n{v:02d}") for u, v in edges]
+    stats = _brute_triangles(named)
+    n_tri_total = sum(t for _, t in stats.values()) // 3
+    wedges = sum(d * (d - 1) // 2 for d, _ in stats.values())
+    degs = [d for d, _ in stats.values()]
+    df = spark.createDataFrame(named, "subj string, obj string")
+    row = graph_summary(df).collect()[0]
+    assert row["n_vertices"] == len(stats)
+    assert row["n_edges"] == sum(degs) // 2
+    assert row["n_triangles"] == n_tri_total
+    assert row["max_degree"] == max(degs)
+    assert row["avg_degree"] == pytest.approx(round(sum(degs) / len(degs), 6))
+    want_t = round(3 * n_tri_total / wedges, 6) if wedges else 0.0
+    assert row["transitivity"] == pytest.approx(want_t)
+
+
+def test_graph_summary_triangle_free_graph(spark):
+    from gazetteer_entity_parser_spark.operators.graph import graph_summary
+
+    # star graph: wedges but zero triangles -> transitivity 0.0
+    df = spark.createDataFrame(
+        [("c", x) for x in ("a", "b", "d")], "subj string, obj string"
+    )
+    row = graph_summary(df).collect()[0]
+    assert (row["n_triangles"], row["transitivity"]) == (0, 0.0)
+    assert row["max_degree"] == 3
