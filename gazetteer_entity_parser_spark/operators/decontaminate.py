@@ -144,3 +144,70 @@ def decontaminate(
         flagged.where(~F.col("contaminated"))
         .drop("n_shingles", "n_contaminated", "contamination_frac", "contaminated")
     )
+
+
+def contamination_scores_embedding(
+    corpus_embeddings,
+    benchmark_embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_planes: int = 4,
+    n_tables: int = 4,
+):
+    """Semantic (embedding-space) benchmark decontamination: for every
+    corpus document, the maximum cosine similarity to ANY benchmark
+    document — the complement of n-gram overlap (`contamination_scores`),
+    catching paraphrased leakage that shares no shingles. Self-id pairs
+    are NOT excluded (a benchmark doc present verbatim in the corpus is
+    exactly what this flags).
+
+    Output: (id_col, max_cosine); thresholding/drop policy belongs to the
+    pipeline, not the metric. Under ``method='lsh'`` corpus docs sharing
+    no bucket with any benchmark doc carry NULL max_cosine — "no candidate
+    evidence", deliberately distinct from a genuine 0.0 cosine (an
+    all-negative benchmark similarity would make a 0.0 sentinel
+    OVERSTATE contamination; pinned in tests).
+
+    - ``method='brute'``: exact — the corpus scans once against the
+      BROADCAST benchmark (eval sets are small by nature; the corpus side
+      is never broadcast or shuffled). The oracle row.
+    - ``method='lsh'`` (default, the no-broadcast-assumption path): LSH
+      SEARCH mode (lsh_bucketed_topk with the corpus as the query stream
+      and the benchmark as the index) — both sides arbitrarily large,
+      only (table, bucket)-keyed shuffles; exact cosine verification on
+      candidates; recall follows the pinned ANN presets (raise n_tables).
+    """
+    from pyspark.sql import functions as F
+
+    from .similarity import _as_double, _dot, _norm, lsh_bucketed_topk
+
+    if method == "brute":
+        c = corpus_embeddings.select(
+            F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+        ).withColumn("_cn", _norm(F.col("_cv")))
+        b = benchmark_embeddings.select(
+            _as_double(F.col(vec_col)).alias("_bv")
+        ).withColumn("_bn", _norm(F.col("_bv")))
+        cos = _dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn"))
+        return (
+            c.crossJoin(F.broadcast(b))
+            .select("_cid", F.round(cos, 6).alias("_cos"))
+            .groupBy(F.col("_cid").alias(id_col))
+            .agg(F.max("_cos").alias("max_cosine"))
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+    topk = lsh_bucketed_topk(
+        benchmark_embeddings,
+        k=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        queries=corpus_embeddings,
+    )
+    hits = topk.where(F.col("rk") == 1).select(
+        F.col("query_id").alias(id_col), F.col("cosine").alias("max_cosine")
+    )
+    return corpus_embeddings.select(id_col).join(hits, id_col, "left")

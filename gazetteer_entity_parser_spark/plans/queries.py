@@ -502,6 +502,18 @@ def q_kg_pagerank_dangling(spark, sf_dir):
     return pagerank(strong, n_iter=10, redistribute_dangling=True)
 
 
+def q_decontaminate_embedding(spark, sf_dir):
+    """Semantic decontamination scores: max cosine of every corpus
+    embedding vs a benchmark set (every 10th vector). Registered row is
+    the exact broadcast-benchmark path; the LSH search-mode variant (no
+    broadcast assumption) is pinned in tests/test_decontaminate.py."""
+    from ..operators.decontaminate import contamination_scores_embedding
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.where(F.pmod("vec_id", F.lit(10)) == 0)
+    return contamination_scores_embedding(emb, bench, method="brute")
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2330,6 +2342,15 @@ _kg_graph_oracles()
 # oracle IS the full-corpus canonical-triples SQL (identity = the check)
 ORACLES["kg_incremental_merge"] = ORACLES["kg_triples_canonical"]
 
+ORACLES["decontaminate_embedding"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         b AS (SELECT e FROM v WHERE vec_id % 10 = 0)
+    SELECT a.vec_id,
+           max(round(list_cosine_similarity(a.e, b.e), 6)) AS max_cosine
+    FROM v a CROSS JOIN b
+    GROUP BY 1
+"""
+
 # global summary nests the per-entity triangle oracle
 ORACLES["kg_graph_summary"] = f"""
 WITH tc AS MATERIALIZED ({ORACLES["kg_triangles"]})
@@ -3110,6 +3131,7 @@ QUERIES = {
     "kg_communities": q_kg_communities,
     "kg_graph_summary": q_kg_graph_summary,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
+    "decontaminate_embedding": q_decontaminate_embedding,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

@@ -198,3 +198,89 @@ def test_oracle_handles_short_and_empty_docs(spark):
     by_id = {r[0]: r for r in got}
     assert by_id[0][3] == 1.0
     assert by_id[1] == (1, 0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# embedding-space decontamination
+# ---------------------------------------------------------------------------
+
+
+def _cos(a, b):
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_embedding_scores_brute_matches_python(spark):
+    import random
+
+    from gazetteer_entity_parser_spark.operators.decontaminate import (
+        contamination_scores_embedding,
+    )
+
+    rng = random.Random(71)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)}
+    rows = [(i, v) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    bench = emb.where("vec_id % 7 = 0")
+    got = {
+        r["vec_id"]: r["max_cosine"]
+        for r in contamination_scores_embedding(emb, bench, method="brute").collect()
+    }
+    bench_ids = [i for i in vecs if i % 7 == 0]
+    expect = {
+        i: max(round(_cos(vecs[i], vecs[b]), 6) for b in bench_ids) for i in vecs
+    }
+    assert set(got) == set(expect)
+    for i in expect:
+        assert got[i] == pytest.approx(expect[i]), i
+    # a benchmark doc present verbatim in the corpus scores exactly 1.0
+    for b in bench_ids:
+        assert got[b] == pytest.approx(1.0)
+
+
+def test_embedding_scores_lsh_finds_exact_duplicates(spark):
+    """Identical vectors share every bucket in every table, so verbatim
+    contamination is ALWAYS found by the LSH path (the recall trade only
+    affects near-duplicates)."""
+    import random
+
+    from gazetteer_entity_parser_spark.operators.decontaminate import (
+        contamination_scores_embedding,
+    )
+
+    rng = random.Random(73)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    bench = emb.where("vec_id % 8 = 0")
+    got = {
+        r["vec_id"]: r["max_cosine"]
+        for r in contamination_scores_embedding(
+            emb, bench, method="lsh", n_planes=4, n_tables=4
+        ).collect()
+    }
+    assert set(got) == {i for i, _ in rows}  # every corpus doc has a row
+    for i, _ in rows:
+        if i % 8 == 0:
+            assert got[i] == pytest.approx(1.0), i
+    brute = {
+        r["vec_id"]: r["max_cosine"]
+        for r in contamination_scores_embedding(emb, bench, method="brute").collect()
+    }
+    for i in got:
+        # matched rows are a lower bound on the true max; unmatched rows
+        # are NULL (no-evidence), never a 0.0 that could overstate an
+        # all-negative true max
+        if got[i] is not None:
+            assert got[i] <= brute[i] + 1e-9, i
+
+
+def test_embedding_scores_rejects_unknown_method(spark):
+    from gazetteer_entity_parser_spark.operators.decontaminate import (
+        contamination_scores_embedding,
+    )
+
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="method"):
+        contamination_scores_embedding(emb, emb, method="cosine")
