@@ -212,3 +212,75 @@ def sample_sql(
         f"substring(md5('{int(seed)}' || chr(31) || CAST({key_sql} AS VARCHAR)), "
         f"1, {_HEX_DIGITS}) < '{_hex_threshold(fraction)}'"
     )
+
+
+def negative_triples(
+    triples: DataFrame,
+    n_neg: int = 2,
+    corrupt: str = "obj",
+) -> DataFrame:
+    """KG-embedding training prep: deterministic negative sampling.
+    For each positive (subj, pred, obj) and j in 0..n_neg-1, emit a
+    corrupted copy whose ``corrupt`` endpoint is replaced by the entity
+    at index H(subj,pred,obj,j) mod |V| in the NAME-ORDERED entity table
+    — H is the first 8 hex chars of md5, so the "random" corruption is
+    reproducible across epochs, partitionings, AND engines (DuckDB
+    CAST('0x'||substr(md5(..),1,8) AS BIGINT) == Spark conv(substring(
+    md5(..),1,8),16,10), probed cross-engine). Corruptions that collide
+    with the true endpoint are dropped (the standard filtered-sampling
+    contract), so a triple can yield fewer than n_neg negatives.
+
+    Scale shape: the rank-indexed entity table is a |V|-sized dimension
+    (one global window — entity vocabulary, not corpus, so this is a
+    dimension build); |V| is folded in-plan via a broadcast 1-row count
+    (no separate job); the expansion is an in-partition sequence explode;
+    the index join is entity-dimension-sized and broadcastable.
+
+    Output: (subj, pred, obj, neg_entity, neg_rank) — neg_entity is the
+    replacement value for the ``corrupt`` role.
+    """
+    from pyspark.sql import Window
+
+    if corrupt not in ("subj", "obj"):
+        raise ValueError(f"corrupt must be 'subj' or 'obj', got {corrupt!r}")
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1, got {n_neg}")
+    ents = (
+        triples.select(F.col("subj").alias("entity"))
+        .unionByName(triples.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    w = Window.orderBy("entity")
+    ents = ents.select(
+        "entity", (F.row_number().over(w) - 1).cast("long").alias("_idx")
+    )
+    nn = ents.agg(F.count("*").alias("_n"))
+    pos = triples.select("subj", "pred", "obj").withColumn(
+        "neg_rank", F.explode(F.sequence(F.lit(0), F.lit(int(n_neg) - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "subj", "pred", "obj", F.col("neg_rank").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        pos.crossJoin(F.broadcast(nn))
+        .withColumn("_idx", F.pmod(h, F.col("_n")))
+        .join(F.broadcast(ents), "_idx")
+        .where(F.col("entity") != F.col(corrupt))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("entity").alias("neg_entity"),
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+        )
+    )

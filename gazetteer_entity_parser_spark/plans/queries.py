@@ -514,6 +514,15 @@ def q_decontaminate_embedding(spark, sf_dir):
     return contamination_scores_embedding(emb, bench, method="brute")
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic TransE-style negative sampling over the canonical
+    triples (2 corruptions of the object role per positive, md5-indexed
+    into the name-ordered entity table; identity collisions dropped)."""
+    from ..operators.sampling import negative_triples
+
+    return negative_triples(_canonical_triples_persisted(spark, sf_dir), n_neg=2)
+
+
 def q_kg_mentions_alias_kernel(spark, sf_dir):
     """Full kernel semantics: multi-token aliases, partial matching at
     θ=0.6, 2 stop words. On the single-space salad corpus this is
@@ -2342,6 +2351,30 @@ _kg_graph_oracles()
 # oracle IS the full-corpus canonical-triples SQL (identity = the check)
 ORACLES["kg_incremental_merge"] = ORACLES["kg_triples_canonical"]
 
+_NEG_HEAD = ORACLES["kg_triples_canonical"].strip()
+ORACLES["kg_negative_samples"] = f"""
+WITH trip AS MATERIALIZED ({_NEG_HEAD}),
+     ents AS MATERIALIZED (
+        SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+        FROM (SELECT subj AS entity FROM trip UNION SELECT obj FROM trip)
+     ),
+     nn AS (SELECT count(*) AS n FROM ents),
+     pos AS (
+        SELECT t.subj, t.pred, t.obj, j.j AS neg_rank
+        FROM trip t CROSS JOIN (SELECT unnest(range(2)) AS j) j
+     )
+SELECT p.subj, p.pred, p.obj, e.entity AS neg_entity,
+       CAST(p.neg_rank AS INT) AS neg_rank
+FROM pos p
+CROSS JOIN nn
+JOIN ents e
+  ON e.idx = CAST('0x' || substr(
+                 md5(p.subj || '|' || p.pred || '|' || p.obj || '|'
+                     || CAST(p.neg_rank AS VARCHAR)), 1, 8) AS BIGINT)
+             % nn.n
+WHERE e.entity <> p.obj
+"""
+
 ORACLES["decontaminate_embedding"] = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          b AS (SELECT e FROM v WHERE vec_id % 10 = 0)
@@ -3132,6 +3165,7 @@ QUERIES = {
     "kg_graph_summary": q_kg_graph_summary,
     "kg_pagerank_dangling": q_kg_pagerank_dangling,
     "decontaminate_embedding": q_decontaminate_embedding,
+    "kg_negative_samples": q_kg_negative_samples,
     # oracle changed in r5 (_shingle_sql whitespace fix) -> keep in window
     "decontaminate_scores": q_decontaminate_scores,
     "kg_webpages": q_kg_webpages,

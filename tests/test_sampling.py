@@ -256,3 +256,64 @@ def test_pack_sequences_rejects_nonpositive_budget(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="budget_tokens"):
         pack_sequences(docs, budget_tokens=0)
+
+
+# ---------------------------------------------------------------------------
+# negative sampling for KG-embedding training
+# ---------------------------------------------------------------------------
+
+
+def _neg_df(spark):
+    rows = [
+        ("a", "p", "b", 3), ("b", "p", "c", 2), ("c", "p", "a", 4),
+        ("a", "p", "d", 1),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, weight bigint")
+
+
+def test_negative_triples_deterministic_and_filtered(spark):
+    import hashlib
+
+    from gazetteer_entity_parser_spark.operators.sampling import negative_triples
+
+    df = _neg_df(spark)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["neg_rank"]): r["neg_entity"]
+        for r in negative_triples(df, n_neg=3).collect()
+    }
+    ents = sorted({"a", "b", "c", "d"})
+    expect = {}
+    for s, p, o, _ in _neg_df(spark).collect():
+        for j in range(3):
+            h = int(hashlib.md5(f"{s}|{p}|{o}|{j}".encode()).hexdigest()[:8], 16)
+            cand = ents[h % len(ents)]
+            if cand != o:
+                expect[(s, p, o, j)] = cand
+    assert got == expect
+    # partitioning independence
+    got2 = {
+        (r["subj"], r["pred"], r["obj"], r["neg_rank"]): r["neg_entity"]
+        for r in negative_triples(df.repartition(7), n_neg=3).collect()
+    }
+    assert got2 == got
+
+
+def test_negative_triples_corrupt_subj_role(spark):
+    from gazetteer_entity_parser_spark.operators.sampling import negative_triples
+
+    out = negative_triples(_neg_df(spark), n_neg=2, corrupt="subj").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["neg_entity"] != r["subj"]  # identity collisions dropped
+
+
+def test_negative_triples_validates_args(spark):
+    import pytest
+
+    from gazetteer_entity_parser_spark.operators.sampling import negative_triples
+
+    df = _neg_df(spark)
+    with pytest.raises(ValueError, match="corrupt"):
+        negative_triples(df, corrupt="pred")
+    with pytest.raises(ValueError, match="n_neg"):
+        negative_triples(df, n_neg=0)
