@@ -1,0 +1,78 @@
+"""Physical-plan regression pins for the round-4/5 plan-defect fixes.
+
+These lock the r4-verdict items in place: the failure mode they guard is
+a silent re-introduction of a SECOND full kernel extraction (the most
+expensive stage) into a plan that was fixed to run it once. The pins
+count MapInPandas occurrences in the EXECUTED plan string — cached
+subtrees print under InMemoryRelation/InMemoryTableScan, so the count
+isolates how many times the extraction would actually execute.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_entity_degree_single_extraction(spark):
+    """r4 verdict #1: kg_entity_degree must be the single-pass
+    role-exploded aggregation — exactly ONE MapInPandas lineage, no
+    full-outer join of two kernel runs."""
+    from gazetteer_entity_parser_spark.plans.queries import q_kg_entity_degree
+
+    df = q_kg_entity_degree(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "FullOuter" not in plan
+
+
+def test_triples_raw_self_join_reads_cache(spark):
+    """r4 verdict #2: the provenance self-join must persist mentions —
+    both join sides read InMemoryTableScan instead of re-executing the
+    extraction lineage."""
+    from gazetteer_entity_parser_spark.plans.queries import q_kg_triples_raw
+
+    df = q_kg_triples_raw(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    # the top-level (non-cached-relation-body) plan must not contain a
+    # live MapInPandas: everything Python reads from the cache. The
+    # cached relation's own build plan prints inside InMemoryRelation;
+    # cut at its first occurrence and check the live prefix.
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "MapInPandas" not in live, live[:2000]
+
+
+def test_tfidf_is_single_job_no_separate_count(spark):
+    """r4 verdict #5: N folds in-plan (broadcast 1-row count) — building
+    the frame must not trigger any Spark job, and the plan carries the
+    corpus count as a join, not a collected literal."""
+    from gazetteer_entity_parser_spark.operators.text_analysis import tfidf_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = tfidf_scores(docs.select("doc_id", "text"))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # construction is job-free
+    assert df.limit(1).count() >= 0  # and it executes
+
+
+def test_graph_family_shares_one_cached_extraction(spark):
+    """Round 5: every graph-analytics query draws from the app-cached
+    canonical triples — after the first query materializes the cache, a
+    second query's plan reads InMemoryTableScan and adds NO new
+    MapInPandas outside the cached relation body."""
+    from gazetteer_entity_parser_spark.plans.queries import (
+        q_kg_edge_pmi,
+        q_kg_entity_neighbors,
+    )
+
+    first = q_kg_edge_pmi(spark, "/root/testdata/sf0.001")
+    first.collect()  # materialize the shared cache
+    second = q_kg_entity_neighbors(spark, "/root/testdata/sf0.001")
+    plan = _plan(second)
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" not in live, live[:2000]
