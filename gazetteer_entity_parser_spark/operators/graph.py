@@ -77,18 +77,32 @@ def _small_star(e: DataFrame) -> DataFrame:
 def _star_components(
     edges: DataFrame, src: str, dst: str, max_iters: int
 ) -> DataFrame:
+    def _edge_summary(frame):
+        # one action: (count, order-independent hash fold — bit_xor never
+        # overflows under ANSI, and the edge set is distinct so xor
+        # cancellation cannot occur). Equal summaries almost surely mean
+        # equal edge sets; the exceptAll equality proof runs ONLY when the
+        # summary matches (once, at convergence). Replaces two count
+        # actions per alternation with one agg — measured ~5% of star
+        # wall at 1M edges (the transforms dominate); the hash guard also
+        # catches the count-equal-but-set-changed case the old
+        # short-circuit could in principle miss mid-contraction.
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = _canonical_edges(edges, src, dst).localCheckpoint()
+    prev_summary = _edge_summary(e)
     converged = False
     for _ in range(max_iters):
         # localCheckpoint per alternation: each transform references its
         # input 2-3 times — same lineage-blowup trap as min-label rounds
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        n_new = new_e.count()
-        unchanged = (
-            n_new == e.count()
-            and new_e.exceptAll(e).isEmpty()
-        )
-        e = new_e
+        new_summary = _edge_summary(new_e)
+        unchanged = new_summary == prev_summary and new_e.exceptAll(e).isEmpty()
+        e, prev_summary = new_e, new_summary
         if unchanged:
             converged = True
             break
