@@ -749,8 +749,6 @@ def label_propagation(
 
     Output: (entity, community).
     """
-    from pyspark.sql import Window
-
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     sym = (
@@ -774,17 +772,26 @@ def label_propagation(
     labels = sym.select(F.col("a").alias("entity")).distinct().withColumn(
         "label", F.col("entity")
     )
-    win = Window.partitionBy("entity").orderBy(F.desc("wsum"), F.asc("label"))
     for _ in range(n_iter):
         votes = (
             sym.join(labels.withColumnRenamed("entity", "b"), "b")
             .groupBy(F.col("a").alias("entity"), "label")
             .agg(F.sum("w").alias("wsum"))
         )
+        # deterministic argmax as a HASH aggregation, not a sort window:
+        # min(struct(-wsum, label)) = largest weight, then smallest label
+        # — field-by-field struct ordering, map-side combinable, no
+        # per-entity sort shuffle
         labels = (
-            votes.withColumn("_rk", F.row_number().over(win))
-            .where(F.col("_rk") == 1)
-            .select("entity", "label")
+            votes.groupBy("entity")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("wsum")).alias("_nw"), F.col("label").alias("label")
+                    )
+                ).alias("_m")
+            )
+            .select("entity", F.col("_m.label").alias("label"))
             .localCheckpoint()
         )
     return labels.select("entity", F.col("label").alias("community"))
