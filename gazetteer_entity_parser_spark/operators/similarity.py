@@ -246,9 +246,10 @@ def _lsh_assign_matmul(emb: DataFrame, id_col: str, vec_col: str,
                 "id": pdf[id_col],
                 # pass the ORIGINAL vector through (as float64) so downstream
                 # exact-cosine arithmetic matches the other paths even when
-                # the matrix was padded/truncated for hashing
+                # the matrix was padded/truncated for hashing (np.asarray:
+                # one vectorized C conversion per cell, not a float() loop)
                 "v": [
-                    None if v is None else [float(x) for x in v]
+                    None if v is None else np.asarray(v, dtype=np.float64)
                     for v in pdf[vec_col]
                 ],
             }
@@ -288,11 +289,18 @@ def _lsh_tables_frame(
     """(vectors, buckets, probes): ``vectors`` = (id, v, nrm, b0..b{T-1})
     persisted — both consumers (candidate join sides, exact-verify sides)
     reference it and without the boundary CollapseProject re-inlines the
-    plane dot products into every branch; ``buckets`` = (id, t, bucket)
+    plane dot products into every branch; ``buckets`` = (id, v, t, bucket)
     exploded per table (the INDEX side — always the primary bucket only).
     Bucket bits come from literal expressions up to
     ``LSH_LITERAL_MAX_PLANES`` total planes and a broadcast-plane-matrix
     mapInPandas matmul above that (the many-table/plane physical plan).
+
+    ``buckets``/``probes`` carry the (float64) vector alongside the bucket
+    key: the per-bucket numpy pruners (:func:`_bucket_topk_prune`,
+    :func:`_bucket_pair_prune`) consume whole bucket groups, so the vector
+    bytes cross the (t, bucket) shuffle ONCE and candidate generation never
+    materializes the per-pair explosion (guide §8: decide on lightweight
+    rows — here, decide per bucket group — and move payload bytes once).
 
     ``probes`` is the QUERY side: None by default (queries probe only their
     primary bucket, same frame as ``buckets``). With ``probe_bits > 0`` it is
@@ -334,8 +342,23 @@ def _lsh_tables_frame(
             emb, id_col, vec_col, n_planes, dim, n_tables, probe_bits=probe_bits
         )
     v = v.withColumn("nrm", _norm(F.col("v"))).persist()
+    # transport type for the per-bucket pruners: when the SOURCE vectors are
+    # float32, the float64 v column is exactly float32-representable, so the
+    # bucket shuffle can carry half the bytes losslessly (the pruners upcast
+    # back to float64 and compute identical cosines); float64 sources keep
+    # float64 transport — never a lossy downcast
+    from pyspark.sql import types as _T
+
+    src_elem = emb.schema[vec_col].dataType
+    vt = (
+        F.col("v").cast("array<float>").alias("v")
+        if isinstance(src_elem, _T.ArrayType)
+        and isinstance(src_elem.elementType, _T.FloatType)
+        else F.col("v")
+    )
     buckets = v.select(
         "id",
+        vt,
         F.explode(
             F.array(
                 *[
@@ -344,11 +367,12 @@ def _lsh_tables_frame(
                 ]
             )
         ).alias("tb"),
-    ).select("id", "tb.t", "tb.bucket")
+    ).select("id", "v", "tb.t", "tb.bucket")
     probes = None
     if full_probe:
         probes = v.select(
             "id",
+            vt,
             F.lit(0).alias("t"),
             F.explode(
                 F.sequence(F.lit(0), F.lit((1 << n_planes) - 1))
@@ -357,6 +381,7 @@ def _lsh_tables_frame(
     elif probe_bits > 0:
         probes = v.select(
             "id",
+            vt,
             F.explode(
                 F.array(
                     *[
@@ -365,8 +390,169 @@ def _lsh_tables_frame(
                     ]
                 )
             ).alias("tp"),
-        ).select("id", F.col("tp.t").alias("t"), F.explode("tp.pb").alias("bucket"))
+        ).select("id", "v", F.col("tp.t").alias("t"), F.explode("tp.pb").alias("bucket"))
     return v, buckets, probes
+
+
+def _pair_lengths(col):
+    """True vector lengths (-1 for NULL): the pruners must mirror the JVM
+    cosine's NULL semantics — ``zip_with`` null-pads unequal lengths and a
+    NULL operand nulls the whole dot product — so any pair whose lengths
+    differ (or that involves a NULL vector) ranks/filters exactly as its
+    NULL cosine would, never as a zero-padded numpy value."""
+    import numpy as np
+
+    return np.array([-1 if x is None else len(x) for x in col], dtype=np.int64)
+
+
+def _cosine_block(Q, qn, qlen, I_n, ilen):
+    """(block, n_index) cosine matrix reproducing Spark's ordering semantics:
+    unequal-length / NULL pairs -> -inf (JVM NULL sorts last under desc),
+    0/0 -> +inf stand-in for NaN (Spark orders NaN greatest). ``I_n`` is the
+    index matrix ALREADY divided by its norms-with-zero-kept (so a zero-norm
+    index row divides to nan/inf exactly like the JVM's dot/0)."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (Q / qn[:, None]) @ I_n.T
+    cos[np.isnan(cos)] = np.inf  # Spark sorts NaN above +Infinity
+    cos[qlen[:, None] != ilen[None, :]] = -np.inf  # JVM NULL cosine
+    cos[qlen == -1, :] = -np.inf
+    cos[:, ilen == -1] = -np.inf
+    return cos
+
+
+_PRUNE_BLOCK_CELLS = 4 << 20  # ~32 MB of float64 cosines per matmul block
+
+
+def _bucket_topk_prune(qside, iside, k: int, self_mode: bool, q_id_type, n_id_type):
+    """(query_id, nbr_id) candidates — per probed bucket, each query's EXACT
+    local top-k under the global comparator (cosine desc, nbr_id asc), via
+    one numpy matmul + stable argsort per bucket group instead of the
+    per-pair explosion. Lossless by the standard distributed-top-k argument:
+    any global top-k winner is, inside every bucket containing it, preceded
+    by at most k-1 better candidates, so it survives the local cut; the JVM
+    tail re-scores survivors with the unchanged exact-cosine expression, so
+    emitted values/ties are bit-identical to the unpruned plan. In
+    ``self_mode`` the local cut keeps k+1 and drops self-pairs after, so a
+    bucket containing the query itself still yields k candidates."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("query_id", q_id_type), T.StructField("nbr_id", n_id_type)]
+    )
+    keep = k + 1 if self_mode else k
+
+    def prune(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["query_id", "nbr_id"])
+        # index sorted by id asc => stable argsort on -cos == (cos desc, id asc)
+        right = right.sort_values("id", kind="stable")
+        nbr_ids = right["id"].to_numpy()
+        ilen = _pair_lengths(right["v"])
+        qlen = _pair_lengths(left["v"])
+        dim = max(int(ilen.max()), int(qlen.max()), 1)
+        I = _vectors_matrix(right["v"], dim)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            I_n = I / np.linalg.norm(I, axis=1, keepdims=True)
+        q_ids = left["id"].to_numpy()
+        Q = _vectors_matrix(left["v"], dim)
+        qn = np.linalg.norm(Q, axis=1)
+        def topk_sel(cos):
+            # exact top-keep under (cos desc, index asc): O(n) argpartition
+            # pre-cut + stable sort of the slice; rows whose boundary value
+            # ties past the slice fall back to the full stable argsort, so
+            # selection is identical to sorting the whole row (dup-heavy
+            # buckets with >32-way boundary ties stay correct, just slower)
+            n_i = cos.shape[1]
+            if n_i <= keep + 32:
+                return np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            m = keep + 32
+            part = np.argpartition(-cos, m - 1, axis=1)[:, :m]
+            part.sort(axis=1)  # index-ascending base order for stability
+            pc = np.take_along_axis(cos, part, axis=1)
+            oo = np.argsort(-pc, axis=1, kind="stable")
+            sel = np.take_along_axis(part, oo, axis=1)[:, :keep]
+            bv = np.take_along_axis(pc, oo, axis=1)[:, keep - 1]
+            bad = (cos == bv[:, None]).sum(axis=1) > (pc == bv[:, None]).sum(axis=1)
+            if bad.any():
+                sel[bad] = np.argsort(-cos[bad], axis=1, kind="stable")[:, :keep]
+            return sel
+
+        out_q, out_n = [], []
+        block = max(1, _PRUNE_BLOCK_CELLS // max(len(nbr_ids), 1))
+        for s in range(0, len(q_ids), block):
+            e = min(s + block, len(q_ids))
+            cos = _cosine_block(Q[s:e], qn[s:e], qlen[s:e], I_n, ilen)
+            sel = topk_sel(cos)
+            bq = np.repeat(q_ids[s:e], sel.shape[1])
+            bn = nbr_ids[sel.ravel()]
+            if self_mode:
+                m = bq != bn
+                bq, bn = bq[m], bn[m]
+            out_q.append(bq)
+            out_n.append(bn)
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q), "nbr_id": np.concatenate(out_n)}
+        )
+
+    return (
+        qside.groupBy("t", "bucket")
+        .cogroup(iside.groupBy("t", "bucket"))
+        .applyInPandas(prune, schema)
+    )
+
+
+def _bucket_pair_prune(bucketed, threshold: float, id_type):
+    """(id_a, id_b) candidate pairs — per bucket, the pairs whose numpy
+    cosine clears ``threshold - 1e-9`` (or is non-finite: the JVM's NaN
+    passes ``>=`` under Spark's NaN-greatest semantics, so those pairs must
+    reach the exact verify). SUPERSET of the pairs the exact JVM filter
+    keeps — float64 matmul and the JVM fold agree far below the 1e-9 margin
+    — so the unchanged verify tail emits exactly the unpruned plan's rows
+    while the per-pair explosion+distinct over whole buckets disappears."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+    )
+    cut = threshold - 1e-9
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=["id_a", "id_b"])
+        ids = pdf["id"].to_numpy()
+        lens = _pair_lengths(pdf["v"])
+        dim = max(int(lens.max()), 1)
+        M = _vectors_matrix(pdf["v"], dim)
+        nrm = np.linalg.norm(M, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M_n = M / nrm[:, None]
+        out_a, out_b = [], []
+        block = max(1, _PRUNE_BLOCK_CELLS // n)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            cos = _cosine_block(M[s:e], nrm[s:e], lens[s:e], M_n, lens)
+            hit = (cos >= cut) | ~np.isfinite(cos)
+            hit[lens[s:e, None] != lens[None, :]] = False  # JVM NULL fails >=
+            hit[lens[s:e] == -1, :] = False
+            hit[:, lens == -1] = False
+            r, c = np.nonzero(hit)
+            a, b = ids[r + s], ids[c]
+            m = a != b
+            a, b = a[m], b[m]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return bucketed.groupBy("t", "bucket").applyInPandas(prune, schema)
 
 
 def cosine_similar_pairs_lsh(
@@ -404,11 +590,14 @@ def cosine_similar_pairs_lsh(
         "_bsz", F.count("*").over(Window.partitionBy("t", "bucket"))
     ).persist()
     small = sized.where(F.col("_bsz") <= max_bucket_size)
-    pairs_small = (
-        small.withColumnRenamed("id", "id_a")
-        .join(small.select("t", "bucket", F.col("id").alias("id_b")), ["t", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # per-bucket numpy threshold prefilter (guide §4.2): one matmul per
+    # bucket group replaces the all-pairs self-join + distinct over whole
+    # buckets; emits a provable SUPERSET (threshold - 1e-9 margin) of the
+    # pairs the unchanged exact JVM verify below keeps, so output rows are
+    # identical while the shuffle after this point carries only true-ish
+    # near-dup pairs instead of O(bucket^2) candidates
+    pairs_small = _bucket_pair_prune(
+        small.select("id", "v", "t", "bucket"), threshold, emb.schema[id_col].dataType
     )
     # chain branch enters the plan only when a hot bucket exists (one cheap
     # reduce over the persisted-anyway sized frame; the always-present
@@ -506,12 +695,21 @@ def lsh_bucketed_topk(
             probe_bits=probe_bits, full_probe=full_probe,
         )
         qside = qprobes if qprobes is not None else qbuckets
-    cand = (
-        qside.withColumnRenamed("id", "query_id")
-        .join(buckets.withColumnRenamed("id", "nbr_id"), ["t", "bucket"])
-        .select("query_id", "nbr_id")
-        .distinct()
-    )
+    # per-bucket numpy local-top-k pruner (guide §4.2/§8): instead of
+    # exploding every (probe, index) bucket coincidence into pair rows,
+    # distinct-ing them, and paying the interpreted exact-cosine fold per
+    # pair, cogroup each (t, bucket) once and keep each query's exact local
+    # top-k under the global comparator — provably every global winner
+    # survives, and the unchanged JVM verify tail below re-scores the few
+    # survivors so emitted values/ties stay bit-identical to the old plan
+    cand = _bucket_topk_prune(
+        qside.select("id", "v", "t", "bucket"),
+        buckets.select("id", "v", "t", "bucket"),
+        k,
+        self_mode=queries is None,
+        q_id_type=(emb if queries is None else queries).schema[id_col].dataType,
+        n_id_type=emb.schema[id_col].dataType,
+    ).distinct()
     if queries is None:
         cand = cand.where(F.col("query_id") != F.col("nbr_id"))
     a = qv.select(F.col("id").alias("query_id"), F.col("v").alias("q_v"), F.col("nrm").alias("q_n"))
