@@ -291,6 +291,12 @@ def pagerank(
     ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
     n_nodes = nodes.count() if redistribute_dangling else 0
     src_set = outw.select(F.col("_src").alias("entity"))
+    # r6: the base term rides the contribution aggregation as a per-node
+    # seed row in the SAME union-agg, removing the former per-iteration
+    # nodes-left-join-summed shuffle+join entirely (guide §2.4). Integer
+    # sum over {base} ∪ {contribs} == base + coalesce(sum(contribs), 0)
+    # exactly, and every node appears via its seed row.
+    seeds = nodes.select("entity", F.lit(int(base)).cast("long").alias("c"))
     for i in range(n_iter):
         contribs = ej.join(
             ranks.withColumnRenamed("entity", "_src"), "_src"
@@ -305,8 +311,9 @@ def pagerank(
             .cast("long")
             .alias("c"),
         )
-        summed = contribs.groupBy("entity").agg(F.sum("c").alias("c"))
-        rank_base = nodes.join(summed, "entity", "left")
+        summed = seeds.unionByName(contribs).groupBy("entity").agg(
+            F.sum("c").alias("c")
+        )
         if redistribute_dangling:
             # 1-row dangling-mass aggregate, broadcast-cross-joined so
             # EVERY node (with or without edge contributions) receives the
@@ -315,14 +322,12 @@ def pagerank(
                 F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_D")
             )
             share = F.expr(f"(_D * {int(d_pct)}) div {100 * int(n_nodes)}")
-            rank_base = rank_base.crossJoin(F.broadcast(dang))
+            summed = summed.crossJoin(F.broadcast(dang))
         else:
             share = F.lit(0).cast("long")
-        ranks = rank_base.select(
+        ranks = summed.select(
             "entity",
-            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)) + share)
-            .cast("long")
-            .alias("r"),
+            (F.col("c") + share).cast("long").alias("r"),
         )
         # with redistribution, EVERY round references ranks twice (the
         # contributions join AND the dangling aggregate), so un-truncated

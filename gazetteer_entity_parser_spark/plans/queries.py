@@ -204,15 +204,29 @@ def q_kg_triples_raw(spark, sf_dir):
 
 
 def q_kg_triples_canonical(spark, sf_dir):
-    # grouped pair expansion (one shuffle); same oracle as the join shape
-    return canonicalize_triples(
-        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
-    ).select(
+    # r6: fused mapInPandas partial-agg path (extract.py) — mentions never
+    # materialize; each Arrow batch emits ~|distinct triples| partials and
+    # the only shuffle is the final (subj, pred, obj) rollup. Row-identical
+    # to the grouped-pair-expansion shape (tests/test_triples_grouped.py::
+    # test_fused_equals_unfused_canonical) and to this query's unchanged
+    # DuckDB oracle; the grouped/join shapes remain exercised by
+    # kg_triples_raw and kg_incremental_merge.
+    return _canonical_triples_fused(spark, sf_dir).select(
         "subj", "pred", "obj",
         F.col("weight").cast("bigint").alias("weight"),
         F.col("subj_rank").cast("bigint").alias("subj_rank"),
         F.col("obj_rank").cast("bigint").alias("obj_rank"),
     )
+
+
+def _canonical_triples_fused(spark, sf_dir):
+    """Shared fused canonical-triples plan (r6): one mapInPandas partial-agg
+    stage + one rollup shuffle (see operators/extract.py)."""
+    from ..operators.extract import canonical_triples_fused
+
+    bc = _parser_cache(spark, sf_dir, "vocab")
+    pages = webpages_from_documents(_docs(spark, sf_dir)).select("url", "text")
+    return canonical_triples_fused(pages, bc, window_tokens=WINDOW_TOKENS)
 
 
 def q_kg_incremental_merge(spark, sf_dir):
@@ -247,9 +261,8 @@ def q_kg_entity_degree(spark, sf_dir):
     degree view over the triples table — out/in/total co-occurrence degree
     and total edge weight. The KG is materialized as an adjacency that
     downstream graph consumers read directly."""
-    triples = canonicalize_triples(
-        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
-    )
+    # r6: shared fused/persisted triples input (row-identical, pinned)
+    triples = _canonical_triples_persisted(spark, sf_dir)
     # Single-pass degrees: explode each triple into a (subj, out) and an
     # (obj, in) role row, then ONE groupBy. The previous two-aggregation +
     # full-outer-join formulation executed the kernel extraction lineage
@@ -298,9 +311,10 @@ def _canonical_triples_persisted(spark, sf_dir):
     trip = _TRIPLES_CACHE.get(key)
     if trip is not None:
         return trip
-    trip = canonicalize_triples(
-        cooccurrence_triples_grouped(_mentions(spark, sf_dir, "vocab"))
-    ).persist()
+    # r6: fused path (row-identical, pinned) — the graph family's input
+    # builds in one mapInPandas pass + one rollup instead of materializing
+    # the mention stream and its O(window^2) pair explosion
+    trip = _canonical_triples_fused(spark, sf_dir).persist()
     for k in [k for k in _TRIPLES_CACHE if k[0] != key[0]]:
         del _TRIPLES_CACHE[k]
     _TRIPLES_CACHE[key] = trip

@@ -188,29 +188,46 @@ def build_registry_distributed(
 
     frames = build_index_frames(gazetteer_df)
 
-    entity_rows = (
-        frames["entities"]
-        .orderBy("entity_id")
-        .select("resolved_value", "rank", "tokens")
-        .collect()
-    )
-    token_rows = frames["tokens"].orderBy("token_id").collect()
+    # r6: persist the entities frame — BOTH driver reads below (and the
+    # token-interning branch) otherwise re-execute the tokenize-UDF +
+    # global-rank-window lineage from scratch (measured: the 150k-row bench
+    # build ran it 4x); one materialization feeds every consumer, and the
+    # boundary is dropped before returning
+    entities = frames["entities"].persist()
+    try:
+        # Arrow transfer instead of row-by-row collect(): the two reads move
+        # ~300k rows of strings/arrays to the driver, where the pickled-row
+        # path was ~2x the remaining build cost
+        ent_tbl = (
+            entities.orderBy("entity_id")
+            .select("resolved_value", "rank", "tokens")
+            .toArrow()
+        )
+        tok_tbl = frames["tokens"].orderBy("token_id").select("token").toArrow()
 
-    reg = Registry()
-    # token ids first-appearance order == kernel interning order; rebuild the
-    # exact same structures without re-scanning strings
-    reg.token_ids = {row["token"]: row["token_id"] for row in token_rows}
-    reg.postings = [[] for _ in token_rows]
-    for row in entity_rows:
-        ev = len(reg.resolved)
-        reg.resolved.append(row["resolved_value"])
-        reg.entity_rank.append(row["rank"])
-        tok_ids = tuple(reg.token_ids[t] for t in row["tokens"])
-        reg.entity_tokens.append(tok_ids)
-        for tid in tok_ids:
-            plist = reg.postings[tid]
-            if not plist or plist[-1] != ev:
-                plist.append(ev)
+        reg = Registry()
+        # token ids first-appearance order == kernel interning order; rebuild
+        # the exact same structures without re-scanning strings
+        tokens = tok_tbl.column("token").to_pylist()
+        reg.token_ids = {t: i for i, t in enumerate(tokens)}
+        reg.postings = [[] for _ in tokens]
+        token_ids = reg.token_ids
+        for resolved_value, rank, toks in zip(
+            ent_tbl.column("resolved_value").to_pylist(),
+            ent_tbl.column("rank").to_pylist(),
+            ent_tbl.column("tokens").to_pylist(),
+        ):
+            ev = len(reg.resolved)
+            reg.resolved.append(resolved_value)
+            reg.entity_rank.append(rank)
+            tok_ids = tuple(token_ids[t] for t in toks)
+            reg.entity_tokens.append(tok_ids)
+            for tid in tok_ids:
+                plist = reg.postings[tid]
+                if not plist or plist[-1] != ev:
+                    plist.append(ev)
+    finally:
+        entities.unpersist()
     reg.set_stop_words(n_stop_words, additional_stop_words)
     return reg
 
