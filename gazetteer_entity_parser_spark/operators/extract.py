@@ -160,6 +160,15 @@ def extract_mentions(
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parser: Parser = parser_broadcast.value
         run = parser.run
+        # r6: single-token direct-append loop — when every gazetteer entry is
+        # one token and no alternatives are requested, a mention is a pure
+        # dictionary hit and all 11 output fields are computable without
+        # building ParsedValue/ResolvedValue objects per mention (the vocab
+        # mentions query emits 2.7M mentions at sf1.0; the object layer was
+        # ~30% of the stage). Field-for-field equality with _run_single_token
+        # is by construction (same table, same first-posting pick) and the
+        # whole path stays pinned by the oracle + pytest goldens.
+        st_table = parser._single_token_lookup() if max_alternatives == 0 else None
         full = columns is None
         if not full:
             # per-mention value producers, evaluated only for the projection
@@ -181,45 +190,98 @@ def extract_mentions(
                     for a in pv.alternatives
                 ],
             }
+        st_get = st_table.get if (st_table is not None and full) else None
         for pdf in batches:
             out = {c: [] for c in cols}
             if not full:
                 appenders = [(out[c], makers[c]) for c in cols]
+            if st_get is not None:
+                o_url, o_sent, o_tok = out["url"], out["sent_idx"], out["tok_idx"]
+                o_beg, o_end, o_match = out["begin"], out["end"], out["matched_value"]
+                o_res, o_raw = out["resolved"], out["raw_value"]
+                o_ent, o_rank, o_alt = out["entity_id"], out["rank"], out["alternatives"]
             for url, text in zip(pdf["url"].values, pdf["text"].values):
                 if not text:
                     continue
-                for sent_idx, char_off, base_tok, window, toks in iter_windows(
-                    text, window_tokens
-                ):
-                    # the window's tokens are already computed — hand them to
-                    # the kernel so nothing tokenizes twice
-                    parsed = run(window, max_alternatives, tokens=toks)
-                    if not parsed:
+                # r6: sentences are tokenized once and chunks are TOKEN
+                # slices only — the kernel receives the full sentence with
+                # sentence-relative spans (no per-chunk text copy, no span
+                # rebasing), exactly the fused-path convention: the kernel
+                # reads text solely to slice matched_value, for which
+                # sentence text + sentence-relative spans are identical to
+                # chunk text + rebased spans. Window accounting (sent_idx
+                # and base_tok advance per non-empty chunk) is unchanged
+                # from iter_windows.
+                sent_idx = 0
+                base_tok = 0
+                for sent_off, sent in split_sentences(text):
+                    toks = tokenize(sent)
+                    nt = len(toks)
+                    if not nt:
                         continue
-                    if full:
-                        for pv in parsed:
-                            begin, end = pv.range
-                            out["url"].append(url)
-                            out["sent_idx"].append(sent_idx)
-                            out["tok_idx"].append(base_tok + pv.tok_range[0])
-                            out["begin"].append(char_off + begin)
-                            out["end"].append(char_off + end)
-                            out["matched_value"].append(pv.matched_value)
-                            out["resolved"].append(pv.resolved_value.resolved)
-                            out["raw_value"].append(pv.resolved_value.raw_value)
-                            out["entity_id"].append(pv.entity)
-                            out["rank"].append(pv.rank)
-                            out["alternatives"].append(
-                                [
-                                    {"resolved": a.resolved, "raw_value": a.raw_value}
-                                    for a in pv.alternatives
-                                ]
-                            )
+                    if window_tokens is None or nt <= window_tokens:
+                        chunks = (toks,)
                     else:
-                        ctx = (url, sent_idx, char_off, base_tok)
-                        for pv in parsed:
-                            for lst, mk in appenders:
-                                lst.append(mk(ctx, pv))
+                        chunks = (
+                            toks[i : i + window_tokens]
+                            for i in range(0, nt, window_tokens)
+                        )
+                    for chunk in chunks:
+                        if st_get is not None:
+                            for ti, (s, e, token) in enumerate(chunk):
+                                postings = st_get(token)
+                                if postings is None:
+                                    continue
+                                ev, rank, rv = postings[0]
+                                o_url.append(url)
+                                o_sent.append(sent_idx)
+                                o_tok.append(base_tok + ti)
+                                o_beg.append(sent_off + s)
+                                o_end.append(sent_off + e)
+                                o_match.append(token)
+                                o_res.append(rv.resolved)
+                                o_raw.append(rv.raw_value)
+                                o_ent.append(ev)
+                                o_rank.append(rank)
+                                o_alt.append(())
+                        else:
+                            parsed = run(sent, max_alternatives, tokens=chunk)
+                            if parsed:
+                                if full:
+                                    for pv in parsed:
+                                        begin, end = pv.range
+                                        out["url"].append(url)
+                                        out["sent_idx"].append(sent_idx)
+                                        out["tok_idx"].append(
+                                            base_tok + pv.tok_range[0]
+                                        )
+                                        out["begin"].append(sent_off + begin)
+                                        out["end"].append(sent_off + end)
+                                        out["matched_value"].append(pv.matched_value)
+                                        out["resolved"].append(
+                                            pv.resolved_value.resolved
+                                        )
+                                        out["raw_value"].append(
+                                            pv.resolved_value.raw_value
+                                        )
+                                        out["entity_id"].append(pv.entity)
+                                        out["rank"].append(pv.rank)
+                                        out["alternatives"].append(
+                                            [
+                                                {
+                                                    "resolved": a.resolved,
+                                                    "raw_value": a.raw_value,
+                                                }
+                                                for a in pv.alternatives
+                                            ]
+                                        )
+                                else:
+                                    ctx = (url, sent_idx, sent_off, base_tok)
+                                    for pv in parsed:
+                                        for lst, mk in appenders:
+                                            lst.append(mk(ctx, pv))
+                        sent_idx += 1
+                        base_tok += len(chunk)
             if out[cols[0]]:  # empty frames would carry float64 columns into Arrow
                 yield pd.DataFrame(out, columns=cols)
 

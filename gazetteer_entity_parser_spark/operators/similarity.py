@@ -435,7 +435,13 @@ def _bucket_topk_prune(qside, iside, k: int, self_mode: bool, q_id_type, n_id_ty
     tail re-scores survivors with the unchanged exact-cosine expression, so
     emitted values/ties are bit-identical to the unpruned plan. In
     ``self_mode`` the local cut keeps k+1 and drops self-pairs after, so a
-    bucket containing the query itself still yields k candidates."""
+    bucket containing the query itself still yields k candidates.
+
+    PRIVATE-HELPER CAVEAT: consume the result through an operator that
+    references query_id/nbr_id (the callers' ``.distinct()`` does). A bare
+    ``.count()`` on the raw cogroup output lets Catalyst prune the child
+    inputs down to the grouping keys before the UDF runs (observed on
+    Spark 4.1), and the function then fails loudly on the missing columns."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
