@@ -13,10 +13,10 @@ is the (doc_id, count-partial) rollup after the broadcast join, with
 map-side combine. The corpus is scanned exactly once
 (explode -> broadcast-left-join -> doc-keyed agg).
 
-Shingling reuses :func:`..operators.dedup.token_shingles` (same tokenizer,
-same US-separator join, same distinct-within-doc semantics), so a
-contamination threshold is directly comparable with the dedup family's
-Jaccard numbers.
+Shingling reuses the dedup family's shingler (:func:`..operators.dedup.
+shingled_frame`, value-identical to ``token_shingles``: same tokenizer, same
+US-separator join, same distinct-within-doc semantics), so a contamination
+threshold is directly comparable with the dedup family's Jaccard numbers.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import token_shingles
+from .dedup import shingled_frame
 
 # refuse to silently degrade: a benchmark whose shingle set is too big to
 # broadcast is not an eval suite, it's a second corpus — route that shape
@@ -59,10 +59,13 @@ def contamination_scores(
     DuckDB oracle (plans/queries.py::decontaminate_scores).
     """
     bench_text = bench_text_col or text_col
+    # r6: both sides shingle through the Python pass (dedup.shingled_frame —
+    # value-identical to token_shingles, pinned in pytest); the interpreted
+    # HOF chain was the dominant cost of this operator at sf1.0. The bench
+    # side needs no id, so any column serves as the passthrough id.
     bsh = (
-        benchmark.select(
-            F.explode(token_shingles(F.col(bench_text), n)).alias("_sh")
-        )
+        shingled_frame(benchmark, None, bench_text, n)
+        .select(F.explode("sh").alias("_sh"))
         .where(F.col("_sh") != "")
         .distinct()
         .persist()
@@ -78,11 +81,9 @@ def contamination_scores(
             "use the dedup family (minhash between corpora) instead"
         )
     bsh = bsh.withColumn("_hit", F.lit(1))
-    dsh = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.filter(token_shingles(F.col(text_col), n), lambda s: s != "")
-        ).alias("_sh"),
+    dsh = shingled_frame(docs, id_col, text_col, n).select(
+        F.col("id").alias(id_col),
+        F.explode_outer(F.filter("sh", lambda s: s != "")).alias("_sh"),
     )
     return (
         dsh.join(F.broadcast(bsh), "_sh", "left")

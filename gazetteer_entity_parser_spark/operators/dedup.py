@@ -1,8 +1,10 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All candidate generation stays JVM-side (built-in array/hash functions inside
-whole-stage codegen); Python appears only in the SimHash bit-vector fold
-(vectorized numpy pandas UDF). Scale notes per operator:
+Candidate generation is bucket-keyed (banded minhash / inverted index /
+pigeonhole chunks) — never a cross join. Python crosses the boundary only in
+Arrow-batched passes: the SimHash bit-vector fold, and (r6) the shingle pass
+(:func:`shingled_frame`) plus nothing else — the minhash signature and every
+join/aggregation stay JVM-side codegen. Scale notes per operator:
 
 - exact: hash-groupBy on the full text — one shuffle, map-side combine.
 - minhash LSH: shingle -> k-permutation minhash -> b bands -> bucket
@@ -17,6 +19,8 @@ whole-stage codegen); Python appears only in the SimHash bit-vector fold
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd  # module-level: pandas UDF type hints resolve against globals
@@ -72,6 +76,63 @@ def token_shingles(text_col, n: int = 3):
     )
 
 
+# Java's default \s (what Spark's split("\\s+") compiles to) is exactly
+# [ \t\n\x0B\f\r] — NOT Python's Unicode \s — so the Python shingler below
+# replicates it literally to stay value-identical with the expression form.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingle_list(text, n: int):
+    """Python replica of :func:`token_shingles` for one text: same
+    tokenization (Java-\\s split, empty tokens dropped), same short-text arm
+    (a single all-tokens shingle when fewer than n tokens, '' for empty
+    text), same first-occurrence-ordered distinct. Value-identity with the
+    expression form is pinned in tests/test_similarity_prune.py."""
+    if text is None:
+        # the expression form yields [''] for NULL text, not NULL:
+        # size(NULL) = -1 (non-ANSI) takes the short arm and concat_ws
+        # skips its NULL array argument, leaving the empty string
+        return [""]
+    toks = [t for t in _JAVA_WS_RE.split(text) if t]
+    if len(toks) < n:
+        return ["\x1f".join(toks)]
+    join = "\x1f".join
+    return list(dict.fromkeys(join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def shingled_frame(
+    docs: DataFrame,
+    id_col: str | None = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh) with the distinct-shingle array computed in ONE mapInPandas
+    pass (guide §4.2): the expression form walks the token array through an
+    interpreted transform/concat_ws/array_distinct chain per row (HOFs are
+    CodegenFallback), which measured ~2x the whole Python pass at sf1.0.
+    Values are identical to ``token_shingles`` (pinned in pytest); ids pass
+    through untouched. ``id_col=None`` emits the shingle column alone (the
+    id-less benchmark side of decontamination)."""
+    from pyspark.sql import types as T
+
+    fields = (
+        [T.StructField("id", docs.schema[id_col].dataType)] if id_col else []
+    )
+    schema = T.StructType(fields + [T.StructField("sh", T.ArrayType(T.StringType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"sh": [_shingle_list(t, n) for t in pdf[text_col]]}
+            if id_col:
+                out = {"id": pdf[id_col], **out}
+            yield pd.DataFrame(out)
+
+    cols = [id_col, text_col] if id_col else [text_col]
+    return docs.select(*cols).mapInPandas(gen, schema)
+
+
 # ------------------------------------------------------------- minhash + LSH
 
 
@@ -124,10 +185,9 @@ def shingled_docs(
     into every transform and each row pays 64x the shingling cost (measured
     ~50x slower end-to-end at sf0.1). A persist()'d InMemoryRelation is a
     boundary the optimizer cannot inline across."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), n_shingle).alias("sh"),
-    ).persist()
+    # r6: one Python pass replaces the interpreted HOF chain (see
+    # shingled_frame; value-identity pinned in pytest)
+    return shingled_frame(docs, id_col, text_col, n_shingle).persist()
 
 
 def minhash_lsh_candidates(
@@ -289,10 +349,11 @@ def ngram_jaccard_pairs(
     Default None preserves exact full-universe semantics (the oracle shape);
     route corpora with unbounded boilerplate to the minhash path or set a
     cutoff. Bounded pair counts are pinned in tests/test_skew.py."""
-    shingled = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_shingles(F.col(text_col), n_shingle)).alias("sh"),
-    ).distinct()
+    shingled = (
+        shingled_frame(docs, id_col, text_col, n_shingle)
+        .select("id", F.explode("sh").alias("sh"))
+        .distinct()
+    )
     if max_shingle_df is not None:
         hot = (
             shingled.groupBy("sh")

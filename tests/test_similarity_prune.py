@@ -174,3 +174,37 @@ def test_minhash_signatures_df_equals_expression(spark):
     assert expr == dfv
     assert len(dfv) == 300
     sh.unpersist()
+
+
+def test_shingled_frame_equals_expression(spark):
+    """r6: the Python shingle pass must be value-identical (same arrays,
+    same order) to the token_shingles expression — including Java-\\s-vs-
+    Python-\\s edge cases (U+001C..1F are NOT whitespace to Java), short
+    texts, empty/whitespace-only texts, and NULL."""
+    from gazetteer_entity_parser_spark.operators.dedup import (
+        shingled_frame,
+        token_shingles,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   "),
+            (9003, "one"),
+            (9004, "one two"),
+            (9005, "a\tb\nc\x0b d\x0c e\r f"),
+            (9006, "a\x1cb \x1d c\x1e\x1f d"),  # U+001C-1F are token chars
+            (9007, " lead and trail "),
+            (9008, "dup dup dup dup"),
+            (9009, None),
+            (9010, "nb sp stays one token"),
+        ],
+        "doc_id long, text string",
+    )
+    inj = docs.select("doc_id", "text").unionByName(edge)
+    for n in (2, 3, 13):
+        expr = {r["doc_id"]: r["sh"] for r in inj.select(
+            "doc_id", token_shingles(F.col("text"), n).alias("sh")).collect()}
+        py = {r["id"]: r["sh"] for r in shingled_frame(inj, "doc_id", "text", n).collect()}
+        assert expr == py, n
