@@ -155,6 +155,7 @@ def contamination_scores_embedding(
     method: str = "lsh",
     n_planes: int = 4,
     n_tables: int = 4,
+    dim: int | None = None,
 ):
     """Semantic (embedding-space) benchmark decontamination: for every
     corpus document, the maximum cosine similarity to ANY benchmark
@@ -199,12 +200,22 @@ def contamination_scores_embedding(
         )
     if method != "lsh":
         raise ValueError(f"method must be 'brute' or 'lsh', got {method!r}")
+    # dim: hyperplane width for the LSH hash. Default = infer from the first
+    # benchmark vector (ADVICE r5: the former hard 64 silently prefix-hashed
+    # wider embeddings and degraded recall with no caller-side remedy);
+    # an explicit dim overrides, and an empty benchmark falls back to 64.
+    if dim is None:
+        first = benchmark_embeddings.select(vec_col).where(
+            F.col(vec_col).isNotNull()
+        ).head(1)
+        dim = len(first[0][0]) if first else 64
     topk = lsh_bucketed_topk(
         benchmark_embeddings,
         k=1,
         id_col=id_col,
         vec_col=vec_col,
         n_planes=n_planes,
+        dim=dim,
         n_tables=n_tables,
         queries=corpus_embeddings,
     )

@@ -150,31 +150,6 @@ def minhash_signature(shingles_col, k: int = 64):
     )
 
 
-def minhash_signatures_df(shingled: DataFrame, k: int = 64) -> DataFrame:
-    """(id, sig) for every row of ``shingled`` (id, sh) with a NON-NULL,
-    non-empty shingle array — the same values :func:`minhash_signature`
-    computes, in a physical plan that stays inside whole-stage codegen:
-    explode the shingles once, evaluate the k seeded xxhash64 expressions
-    per shingle ROW (codegen), and take k map-side-combinable MIN aggregates
-    per doc. The expression form walks the array through k interpreted
-    higher-order ``transform``/``array_min`` folds per row (HOFs are
-    CodegenFallback), which measured ~3x slower at the dedup default k=64.
-
-    Rows whose shingle array is NULL are dropped (their expression-form sig
-    is all-NULL and can never verify downstream — ``array_intersect`` on a
-    NULL side yields NULL jaccard, which fails every threshold — so
-    candidate generation may differ on such rows but emitted verified pairs
-    cannot; :func:`token_shingles` itself never produces NULL for non-NULL
-    text)."""
-    exploded = shingled.select("id", F.explode("sh").alias("_s"))
-    mins = exploded.groupBy("id").agg(
-        *[F.min(_seeded_hash(i)(F.col("_s"))).alias(f"_h{i}") for i in range(k)]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig")
-    )
-
-
 def shingled_docs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_shingle: int = 3
 ) -> DataFrame:
@@ -225,9 +200,11 @@ def minhash_lsh_candidates(
     rows_per_band = k // bands
     if shingled is None:
         shingled = shingled_docs(docs, id_col, text_col, n_shingle)
-    # r6: explode+codegen-min signature plan (see minhash_signatures_df) —
-    # same values, no interpreted per-row HOF folds
-    sig = minhash_signatures_df(shingled, k).persist()
+    # (r6 note: an explode + codegen-xxhash64 + 64-way MIN hash-agg
+    # formulation of the signature was built and A/B-measured ~15% SLOWER
+    # at sf1.0 — the added |shingle|-row explode and 64-buffer aggregate
+    # outweigh the interpreted-HOF savings — so the expression form stays)
+    sig = shingled.select("id", minhash_signature(F.col("sh"), k).alias("sig")).persist()
     # bands unrolled as a literal F.array (driver-side loop): a
     # transform(sequence(...)) lambda here drops the stage out of codegen and
     # was measured ~70x slower (2.4ms/row interpreted)

@@ -210,6 +210,26 @@ def connected_components(
     return labels.select("entity", F.col("label").alias("component"))
 
 
+def _integral_weight(weight_col: str, op_name: str):
+    """Loud in-plan integer-weight guard shared by the weighted-graph
+    operators: a non-integral weight silently truncates under
+    ``cast("long")`` (0.7 -> 0, 1.7 -> 1) and changes results without
+    error; NULL/non-positive weights corrupt the weighted sums. Fail at
+    runtime instead (no extra job)."""
+    w = F.col(weight_col)
+    return (
+        F.when((w > 0) & (w.cast("long") == w), w.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: edge weight must be a positive integer, got "),
+                    w.cast("string"),
+                )
+            ).cast("long")
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -267,17 +287,10 @@ def pagerank(
         F.col(dst_col).alias("_dst"),
         # loud in-plan guard (no extra job): a non-positive weight would
         # make wout <= 0 and the floor() contribution NaN -> NULL -> the
-        # sum silently drops it; fail at runtime instead
-        F.when(F.col(weight_col) > 0, F.col(weight_col).cast("long"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("pagerank: non-positive edge weight "),
-                    F.col(weight_col).cast("string"),
-                )
-            ).cast("long")
-        )
-        .alias("_w"),
+        # sum silently drops it; a NON-INTEGRAL weight would silently
+        # truncate under cast("long") (0.7 -> 0 passes a bare >0 check and
+        # then zeroes wout). Integer-weight contract: fail on both.
+        _integral_weight(weight_col, "pagerank").alias("_w"),
     )
     nodes = (
         e.select(F.col("_src").alias("entity"))
@@ -760,13 +773,13 @@ def label_propagation(
         edges.select(
             F.col(src_col).alias("a"),
             F.col(dst_col).alias("b"),
-            F.col(weight_col).cast("long").alias("w"),
+            _integral_weight(weight_col, "label_propagation").alias("w"),
         )
         .unionByName(
             edges.select(
                 F.col(dst_col).alias("a"),
                 F.col(src_col).alias("b"),
-                F.col(weight_col).cast("long").alias("w"),
+                _integral_weight(weight_col, "label_propagation").alias("w"),
             )
         )
         .where(F.col("a") != F.col("b"))

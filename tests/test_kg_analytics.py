@@ -530,8 +530,20 @@ def test_pagerank_raises_on_nonpositive_weight(spark):
     df = spark.createDataFrame(
         [("a", "b", 2), ("b", "a", 0)], "subj string, obj string, weight bigint"
     )
-    with pytest.raises(Exception, match="non-positive edge weight"):
+    with pytest.raises(Exception, match="positive integer"):
         pagerank(df, n_iter=1).collect()
+    # r6 (ADVICE): a fractional weight must raise too, not silently
+    # truncate to 0/1 under the long cast
+    frac = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 0.7)], "subj string, obj string, weight double"
+    )
+    with pytest.raises(Exception, match="positive integer"):
+        pagerank(frac, n_iter=1).collect()
+    # integral-valued doubles remain accepted
+    ok = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "a", 1.0)], "subj string, obj string, weight double"
+    )
+    assert pagerank(ok, n_iter=1).count() == 2
 
 
 # ---------------------------------------------------------------------------

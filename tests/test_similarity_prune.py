@@ -155,27 +155,6 @@ def test_pair_prune_identical(spark, emb):
     assert new == old
     assert len(new) > 0
 
-
-def test_minhash_signatures_df_equals_expression(spark):
-    """r6: the explode+codegen-min signature plan must produce exactly the
-    values of the interpreted HOF expression form for every doc."""
-    from gazetteer_entity_parser_spark.operators.dedup import (
-        minhash_signature,
-        minhash_signatures_df,
-        shingled_docs,
-    )
-
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(300)
-    sh = shingled_docs(docs, "doc_id", "text", 2)
-    expr = {r["id"]: tuple(r["sig"]) for r in
-            sh.select("id", minhash_signature(F.col("sh"), 64).alias("sig")).collect()}
-    dfv = {r["id"]: tuple(r["sig"]) for r in
-           minhash_signatures_df(sh, 64).collect()}
-    assert expr == dfv
-    assert len(dfv) == 300
-    sh.unpersist()
-
-
 def test_shingled_frame_equals_expression(spark):
     """r6: the Python shingle pass must be value-identical (same arrays,
     same order) to the token_shingles expression — including Java-\\s-vs-
