@@ -47,7 +47,19 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star(u): connect every STRICTLY LARGER neighbor of u to
     m = min(N(u) ∪ {u}). Output orientation is (larger, smaller) because
-    v > u >= m. One vertex-keyed shuffle (groupBy) + one equi-join."""
+    v > u >= m. One vertex-keyed shuffle (groupBy) + one equi-join.
+
+    (r6 note: an explicit hash(a) co-partitioning of sym — one exchange
+    feeding groupBy, join and a clustering-compatible dedup — was built and
+    A/B-measured NEUTRAL at 1M edges (23.0 vs 23.2 s): the min-aggregate
+    side is |V|-sized and AQE resolves both joins as BROADCAST joins here,
+    so the streamed side needs no particular partitioning and the added
+    repartition exchanges exactly cancel the removed ones. Skipping the
+    internal distinct instead (deferring dedup to small-star's tail) was
+    rejected without measurement: pre-dedup multiplicity is degree-bounded,
+    i.e. a hub-skew blowup for exactly the graphs the star path exists for.
+    Star wall remains fixpoint-round-bound, not exchange-bound, at
+    measurable scale.)"""
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     mins = sym.groupBy("a").agg(F.min("b").alias("_nbr_min"))
     mins = mins.select("a", F.least("a", "_nbr_min").alias("m"))
@@ -304,12 +316,13 @@ def pagerank(
     ranks = nodes.withColumn("r", F.lit(int(scale)).cast("long"))
     n_nodes = nodes.count() if redistribute_dangling else 0
     src_set = outw.select(F.col("_src").alias("entity"))
-    # r6: the base term rides the contribution aggregation as a per-node
-    # seed row in the SAME union-agg, removing the former per-iteration
-    # nodes-left-join-summed shuffle+join entirely (guide §2.4). Integer
-    # sum over {base} ∪ {contribs} == base + coalesce(sum(contribs), 0)
-    # exactly, and every node appears via its seed row.
-    seeds = nodes.select("entity", F.lit(int(base)).cast("long").alias("c"))
+    # (r6 note: a seed-union formulation — the base term riding the
+    # contribution aggregation as per-node union rows, removing the
+    # nodes-left-join per iteration — was built and A/B-measured ~4-6x
+    # SLOWER at 1M edges (the left join resolves as a broadcast of the
+    # 1-row-per-node aggregate under AQE and costs almost nothing, while
+    # the union blocks the partial-agg/codegen shape), so the join
+    # formulation stays.)
     for i in range(n_iter):
         contribs = ej.join(
             ranks.withColumnRenamed("entity", "_src"), "_src"
@@ -324,9 +337,8 @@ def pagerank(
             .cast("long")
             .alias("c"),
         )
-        summed = seeds.unionByName(contribs).groupBy("entity").agg(
-            F.sum("c").alias("c")
-        )
+        summed = contribs.groupBy("entity").agg(F.sum("c").alias("c"))
+        rank_base = nodes.join(summed, "entity", "left")
         if redistribute_dangling:
             # 1-row dangling-mass aggregate, broadcast-cross-joined so
             # EVERY node (with or without edge contributions) receives the
@@ -335,12 +347,14 @@ def pagerank(
                 F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_D")
             )
             share = F.expr(f"(_D * {int(d_pct)}) div {100 * int(n_nodes)}")
-            summed = summed.crossJoin(F.broadcast(dang))
+            rank_base = rank_base.crossJoin(F.broadcast(dang))
         else:
             share = F.lit(0).cast("long")
-        ranks = summed.select(
+        ranks = rank_base.select(
             "entity",
-            (F.col("c") + share).cast("long").alias("r"),
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)) + share)
+            .cast("long")
+            .alias("r"),
         )
         # with redistribution, EVERY round references ranks twice (the
         # contributions join AND the dangling aggregate), so un-truncated
