@@ -108,6 +108,15 @@ def _star_components(
     e = _canonical_edges(edges, src, dst).localCheckpoint()
     prev_summary = _edge_summary(e)
     converged = False
+    # (r6 note: batching TWO alternations per checkpoint+summary action —
+    # to halve the per-round action count — was A/B-measured WORSE at 1M
+    # edges both ways it can be built: un-checkpointed intermediate 32.7 s,
+    # lazily-persisted intermediate 29.3 s, vs 18.3-23.2 s for the
+    # per-alternation checkpoint across the same windows. The second
+    # alternation's 2-3 references re-enter the first's subtree through
+    # AQE-replanned exchanges that do not reliably reuse, and the cache
+    # write/read of the 2x|E| intermediate costs more than the saved
+    # checkpoint+summary jobs. Per-alternation checkpointing stays.)
     for _ in range(max_iters):
         # localCheckpoint per alternation: each transform references its
         # input 2-3 times — same lineage-blowup trap as min-label rounds
