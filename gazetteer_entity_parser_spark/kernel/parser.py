@@ -290,6 +290,70 @@ class Parser:
             (pv.resolved_value.resolved, pv.rank) for pv in self.run(input_text, 0, tokens)
         ]
 
+    def run_light_pos(
+        self, input_text: str, tokens: list[tuple[int, int, str]] | None = None
+    ) -> list[tuple[int, str, int]]:
+        """(start_token_ordinal, resolved, rank) triples in token order —
+        :meth:`run_light` plus each match's starting token index (r6: the
+        pruned-column extraction fast lane, which needs tok_idx but neither
+        char offsets nor matched_value). Output equals
+        ``[(pv.tok_range[0], pv.resolved_value.resolved, pv.rank) for pv in
+        run(text, 0)]`` (pinned in tests/test_fast_path.py). The body
+        mirrors run_light rather than wrapping it: run_light is the fused
+        triples hot path and must not pay a per-match re-projection."""
+        if tokens is None:
+            tokens = tokenize(input_text)
+        st_table = self._single_token_lookup()
+        if st_table is not None:
+            get = st_table.get
+            out = []
+            for i, (_s, _e, token) in enumerate(tokens):
+                postings = get(token)
+                if postings is not None:
+                    best = postings[0]
+                    out.append((i, best[2].resolved, best[1]))
+            return out
+        tables = self._le2_lookup()
+        if tables is not None:
+            singles, bigrams = tables
+            n = len(tokens)
+            pairs = []
+            bget = bigrams.get
+            prev_tt_cand = -2
+            for i in range(n - 1):
+                key = (tokens[i][2], tokens[i + 1][2])
+                entries = bget(key)
+                if entries is None:
+                    continue
+                if key[0] == key[1]:
+                    if prev_tt_cand == i - 1:
+                        continue
+                    prev_tt_cand = i
+                pairs.append((entries[0][0], i, entries[0]))
+            taken = bytearray(n)
+            out_pos: list[tuple[int, str, int]] = []
+            if pairs:
+                pairs.sort(key=lambda c: (c[0], c[1]))
+                for rank0, i, best in pairs:
+                    if taken[i] or taken[i + 1]:
+                        continue
+                    taken[i] = taken[i + 1] = 1
+                    out_pos.append((i, best[2].resolved, rank0))
+            sget = singles.get
+            for i in range(n):
+                if taken[i]:
+                    continue
+                entries = sget(tokens[i][2])
+                if entries is not None:
+                    best = entries[0]
+                    out_pos.append((i, best[2].resolved, best[0]))
+            out_pos.sort()
+            return out_pos
+        return [
+            (pv.tok_range[0], pv.resolved_value.resolved, pv.rank)
+            for pv in self.run(input_text, 0, tokens)
+        ]
+
     # -------------------------------------------- pure-dictionary fast path
 
     def _single_token_lookup(self):

@@ -170,6 +170,18 @@ def extract_mentions(
         # whole path stays pinned by the oracle + pytest goldens.
         st_table = parser._single_token_lookup() if max_alternatives == 0 else None
         full = columns is None
+        # r6: light-projection fast lane — when the requested columns need
+        # neither char offsets nor matched_value/alternatives (the triples/
+        # checkpoint consumers ask exactly for url/sent_idx/tok_idx/resolved/
+        # rank), run_light_pos supplies (tok_ordinal, resolved, rank) with no
+        # ParsedValue/ResolvedValue construction and no string slicing at
+        # all; equality with the full path is pinned in pytest.
+        light_pos = (
+            not full
+            and max_alternatives == 0
+            and set(columns) <= {"url", "sent_idx", "tok_idx", "resolved", "rank"}
+        )
+        run_pos = parser.run_light_pos if light_pos else None
         if not full:
             # per-mention value producers, evaluated only for the projection
             # (the full path below stays a hand-inlined loop — the dispatch
@@ -195,6 +207,12 @@ def extract_mentions(
             out = {c: [] for c in cols}
             if not full:
                 appenders = [(out[c], makers[c]) for c in cols]
+            if run_pos is not None:
+                lp_url = out.get("url")
+                lp_sent = out.get("sent_idx")
+                lp_tok = out.get("tok_idx")
+                lp_res = out.get("resolved")
+                lp_rank = out.get("rank")
             if st_get is not None:
                 o_url, o_sent, o_tok = out["url"], out["sent_idx"], out["tok_idx"]
                 o_beg, o_end, o_match = out["begin"], out["end"], out["matched_value"]
@@ -227,7 +245,19 @@ def extract_mentions(
                             for i in range(0, nt, window_tokens)
                         )
                     for chunk in chunks:
-                        if st_get is not None:
+                        if run_pos is not None:
+                            for pos, res, rank in run_pos(sent, tokens=chunk):
+                                if lp_url is not None:
+                                    lp_url.append(url)
+                                if lp_sent is not None:
+                                    lp_sent.append(sent_idx)
+                                if lp_tok is not None:
+                                    lp_tok.append(base_tok + pos)
+                                if lp_res is not None:
+                                    lp_res.append(res)
+                                if lp_rank is not None:
+                                    lp_rank.append(rank)
+                        elif st_get is not None:
                             for ti, (s, e, token) in enumerate(chunk):
                                 postings = st_get(token)
                                 if postings is None:

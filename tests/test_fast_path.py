@@ -205,3 +205,36 @@ def test_le2_gate_rederives_on_set_threshold():
     parser.set_threshold(0.9)
     assert parser._le2_lookup() is not None
     assert parser.run("a b c", 1) == general_path(parser, "a b c", 1)
+
+
+def test_run_light_pos_matches_run_all_paths():
+    """r6: run_light_pos must equal the (tok_range[0], resolved, rank)
+    projection of run() on the single-token, LE2, and general dispatch
+    paths (it is the pruned-column extraction fast lane)."""
+    rng = random.Random(1234)
+
+    def check(parser, words, trials=40):
+        for _ in range(trials):
+            text = " ".join(rng.choice(words) for _ in range(rng.randint(0, 14)))
+            want = [
+                (pv.tok_range[0], pv.resolved_value.resolved, pv.rank)
+                for pv in parser.run(text, 0)
+            ]
+            assert parser.run_light_pos(text) == want, (text, parser.threshold)
+
+    words = ["a", "b", "c", "d", "zz"]
+    p1 = ParserBuilder().set_gazetteer(
+        [("a", "A"), ("b", "B"), ("a", "A2")]
+    ).minimum_tokens_ratio(1.0).build()
+    assert p1._single_token_lookup() is not None
+    check(p1, words)
+    p2 = ParserBuilder().set_gazetteer(
+        [("a b", "AB"), ("b", "B"), ("c c", "CC"), ("d", "D")]
+    ).minimum_tokens_ratio(0.6).n_stop_words(1).build()
+    assert p2._single_token_lookup() is None and p2._le2_lookup() is not None
+    check(p2, words)
+    p3 = ParserBuilder().set_gazetteer(
+        [("a b c", "ABC"), ("b", "B")]
+    ).minimum_tokens_ratio(0.5).build()
+    assert p3._le2_lookup() is None
+    check(p3, words)
