@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -251,6 +252,50 @@ def _integral_weight(weight_col: str, op_name: str):
     )
 
 
+def _local_pagerank(rows, n_iter, d_pct, scale, redistribute_dangling):
+    """Driver-side replay of the pagerank recurrence for graphs under the
+    local cap: numpy elementwise float64 reproduces the distributed
+    floor(double) contribution formula bit-for-bit (same multiplication
+    order, same int64→float64 nearest rounding, and the floor-exactness
+    argument in :func:`pagerank`'s docstring is engine-independent), and
+    int64 contribution sums are associative, so the values are identical
+    to the distributed path's by construction. Returns [(entity, r)] in
+    sorted node order."""
+    import math
+
+    import numpy as np
+
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    if not nodes:
+        return []
+    idx = {n: i for i, n in enumerate(nodes)}
+    n_nodes = len(nodes)
+    src = np.fromiter((idx[u] for u, _, _ in rows), np.int64, len(rows))
+    dst = np.fromiter((idx[v] for _, v, _ in rows), np.int64, len(rows))
+    w = np.fromiter((w for _, _, w in rows), np.int64, len(rows))
+    wout = np.zeros(n_nodes, np.int64)
+    np.add.at(wout, src, w)
+    w_f = w.astype(np.float64)
+    denom = 100.0 * wout[src].astype(np.float64)
+    is_dangling = np.ones(n_nodes, bool)
+    is_dangling[src] = False
+    base = int(scale) * (100 - int(d_pct)) // 100
+    d_f = float(d_pct)
+    r = np.full(n_nodes, int(scale), np.int64)
+    for _ in range(n_iter):
+        contrib = np.floor(
+            r[src].astype(np.float64) * d_f * w_f / denom
+        ).astype(np.int64)
+        c = np.zeros(n_nodes, np.int64)
+        np.add.at(c, dst, contrib)
+        share = 0
+        if redistribute_dangling:
+            d_mass = int(r[is_dangling].sum())
+            share = (d_mass * int(d_pct)) // (100 * n_nodes)
+        r = base + c + share
+    return [(n, int(r[idx[n]])) for n in nodes]
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -261,6 +306,7 @@ def pagerank(
     weight_col: str = "weight",
     checkpoint_every: int = 5,
     redistribute_dangling: bool = False,
+    local_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list, in FIXED-POINT integer
     arithmetic so the result is bit-portable across engines and partition
@@ -298,6 +344,23 @@ def pagerank(
     by AQE. Lineage is localCheckpoint-truncated every ``checkpoint_every``
     iterations (linear growth, not the 3^n of min-label propagation, but
     unbounded n_iter would still bloat plan compile time).
+
+    Adaptive small-graph execution (``local_edge_cap``, r6): an iterative
+    plan is ~3 exchanges PER ITERATION of fixed scheduling cost (the
+    n_iter=10 query plan carries 220 Exchange nodes) — absurd for a graph
+    that fits in one task. When a bounded probe (``limit(cap+1)``, one
+    job) shows at most ``local_edge_cap`` edges with same-typed, non-NULL
+    endpoints, the recurrence is replayed on the driver in numpy —
+    bit-identical by the same engine-portability argument as the DuckDB
+    oracle (integer sums + exact floor(double)); the final
+    rank_fp/score projection stays a Spark expression so `round`
+    semantics are Spark's own. Driver memory is bounded by the cap
+    (~8 MB at the default, the same class of driver-resident bound as
+    the broadcast parser); larger inputs take the unchanged distributed
+    path, paying only the bounded probe. Set ``local_edge_cap=0`` to
+    force distributed. NULL endpoints or differing src/dst column types
+    always fall through to the distributed path (its NULL/coercion
+    semantics are the contract).
     """
     if not 0 < d_pct < 100:
         raise ValueError(f"d_pct must be in (0, 100), got {d_pct}")
@@ -313,6 +376,41 @@ def pagerank(
         # then zeroes wout). Integer-weight contract: fail on both.
         _integral_weight(weight_col, "pagerank").alias("_w"),
     )
+    src_t = e.schema["_src"].dataType
+    dst_t = e.schema["_dst"].dataType
+    if (
+        local_edge_cap > 0
+        and src_t == dst_t
+        and isinstance(
+            src_t,
+            (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+    ):
+        probe = e.limit(int(local_edge_cap) + 1).collect()
+        if len(probe) <= local_edge_cap and all(
+            row["_src"] is not None and row["_dst"] is not None for row in probe
+        ):
+            ranks_local = _local_pagerank(
+                [(row["_src"], row["_dst"], row["_w"]) for row in probe],
+                n_iter,
+                d_pct,
+                scale,
+                redistribute_dangling,
+            )
+            out = e.sparkSession.createDataFrame(
+                ranks_local,
+                T.StructType(
+                    [
+                        T.StructField("entity", src_t, True),
+                        T.StructField("r", T.LongType(), True),
+                    ]
+                ),
+            )
+            return out.select(
+                "entity",
+                F.col("r").alias("rank_fp"),
+                F.round(F.col("r") / F.lit(float(scale)), 6).alias("score"),
+            )
     nodes = (
         e.select(F.col("_src").alias("entity"))
         .unionByName(e.select(F.col("_dst").alias("entity")))
