@@ -477,10 +477,37 @@ def pagerank(
     )
 
 
+def _local_triangle_counts(rows):
+    """Driver-side replay of the triangle/degree counts for graphs under
+    the local cap. ``rows`` are (a, b) pairs already filtered by the same
+    ``a != b`` predicate the distributed plan applies (so no NULLs or
+    self-loops reach here). Only the INTEGER outputs are computed — degree
+    (distinct undirected neighbors) and per-vertex triangle count — both
+    of which are orientation-independent, so none of the distributed
+    plan's degree-ordering logic needs replicating; the float clustering
+    column stays a Spark expression in the caller. Per-vertex triangle
+    count: half the sum over incident edges of |adj(u) ∩ adj(v)| (each
+    triangle at v is seen through both of its edges at v). Returns
+    [(entity, degree, triangles)] in sorted vertex order."""
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = []
+    for v in sorted(adj):
+        nbrs = adj[v]
+        t2 = 0
+        for u in nbrs:
+            t2 += len(nbrs & adj[u])
+        out.append((v, len(nbrs), t2 // 2))
+    return out
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "subj",
     dst_col: str = "obj",
+    local_edge_cap: int = 50_000,
 ) -> DataFrame:
     """Per-entity triangle count + local clustering coefficient over the
     UNDIRECTED simple graph induced by the edge list (directions merged,
@@ -505,10 +532,46 @@ def triangle_counts(
 
     Output: (entity, degree, triangles, clustering) with
     clustering = 2*T / (deg*(deg-1)), 0.0 for deg < 2, rounded to 6.
+
+    Adaptive small-graph execution (``local_edge_cap``, r6, same pattern
+    as :func:`pagerank`): when a bounded probe of the already-filtered
+    (a != b — NULLs and self-loops drop identically in both paths) edge
+    projection shows at most ``local_edge_cap`` rows with same-typed
+    endpoints, degree and triangle counts — pure integers, independent
+    of the orientation order — are computed on the driver and only the
+    float ``clustering`` projection runs as the SAME Spark expression,
+    so every emitted value is bit-identical by construction. Larger
+    inputs or mixed endpoint types take the unchanged distributed path.
     """
+    filtered = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    src_t = filtered.schema["a"].dataType
+    dst_t = filtered.schema["b"].dataType
+    if (
+        local_edge_cap > 0
+        and src_t == dst_t
+        and isinstance(
+            src_t,
+            (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+        )
+    ):
+        probe = filtered.limit(int(local_edge_cap) + 1).collect()
+        if len(probe) <= local_edge_cap:
+            local = _local_triangle_counts([(r["a"], r["b"]) for r in probe])
+            deg_tri = edges.sparkSession.createDataFrame(
+                local,
+                T.StructType(
+                    [
+                        T.StructField("entity", src_t, True),
+                        T.StructField("degree", T.LongType(), True),
+                        T.StructField("triangles", T.LongType(), True),
+                    ]
+                ),
+            )
+            return _triangle_output(deg_tri)
     und = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        filtered
         .select(
             F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
         )
@@ -565,8 +628,16 @@ def triangle_counts(
         .groupBy("entity")
         .agg(F.count("*").alias("triangles"))
     )
+    return _triangle_output(deg.join(credit, "entity", "left"))
+
+
+def _triangle_output(deg_tri: DataFrame) -> DataFrame:
+    """Shared final projection of :func:`triangle_counts` — the local and
+    distributed paths both route their (entity, degree, triangles) frame
+    through this ONE expression set, so the derived ``clustering`` float
+    is the same Spark arithmetic in both."""
     return (
-        deg.join(credit, "entity", "left")
+        deg_tri
         .select(
             "entity",
             F.col("degree").cast("bigint").alias("degree"),
