@@ -117,7 +117,14 @@ def _star_components(
     # alternation's 2-3 references re-enter the first's subtree through
     # AQE-replanned exchanges that do not reliably reuse, and the cache
     # write/read of the 2x|E| intermediate costs more than the saved
-    # checkpoint+summary jobs. Per-alternation checkpointing stays.)
+    # checkpoint+summary jobs. Per-alternation checkpointing stays.
+    # A fourth variant — localCheckpoint(eager=False) so the summary agg
+    # triggers materialization in the SAME job, halving per-alternation
+    # job count — was interleaved-A/B NEUTRAL at 1M edges (lazy
+    # 20.3/16.4/15.4 s vs eager 20.7/15.8/16.1 isolated 3-rep): the
+    # transform stages dominate and the merged job saves only job
+    # submission, not work. Eager stays — it fails faster and its
+    # materialization point is explicit.)
     for _ in range(max_iters):
         # localCheckpoint per alternation: each transform references its
         # input 2-3 times — same lineage-blowup trap as min-label rounds
